@@ -1,0 +1,246 @@
+"""Immutable dataclass configuration tree.
+
+Replaces the reference's single global argparse (reference: configs/config.py:5-135)
+which was even consumed at import time (reference: networks/pts_encoder/pointnet2.py:28,
+a layering violation). Here configuration is an explicit, frozen, hashable tree that
+can be passed into jitted functions as a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def _freeze(obj):
+    return obj
+
+
+@dataclass(frozen=True)
+class SDEConfig:
+    """SDE family and hyperparameters (reference: networks/gf_algorithms/sde.py:96-142)."""
+
+    mode: str = "ve"  # 've' | 'vp' | 'subvp' | 'edm'
+    # VE
+    sigma_min: float = 0.01
+    sigma_max: float = 50.0
+    # VP / sub-VP
+    beta_0: float = 0.1
+    beta_1: float = 20.0
+    # EDM
+    edm_sigma_min: float = 0.002
+    edm_sigma_max: float = 80.0
+
+    @property
+    def eps(self) -> float:
+        return {"ve": 1e-5, "vp": 1e-3, "subvp": 1e-3, "edm": 0.002}[self.mode]
+
+    @property
+    def T(self) -> float:
+        return self.edm_sigma_max if self.mode == "edm" else 1.0
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Sampler knobs (reference: configs/config.py:29-30,80, samplers.py:180-258)."""
+
+    mode: str = "ode"  # 'ode' | 'ode_fixed' | 'pc' | 'edm'
+    sampling_steps: int = 500  # for pc / fixed-grid ode
+    atol: float = 1e-5
+    rtol: float = 1e-5
+    snr: float = 0.16  # Langevin corrector SNR (pc sampler)
+    denoise: bool = True
+    T0: float = 1.0  # ODE start time (0.55 single-frame eval, 0.25/0.15 tracking)
+    # Maximum RK45 iterations for the on-device adaptive solver (safety bound for
+    # lax.while_loop; scipy runs unbounded).
+    max_rk45_steps: int = 2000
+
+
+@dataclass(frozen=True)
+class PointNet2Config:
+    """MSG set-abstraction stack = ClsMSG_CFG_Light
+    (reference: networks/pts_encoder/pointnet2.py:77-89)."""
+
+    npoints: Tuple[Optional[int], ...] = (512, 256, 128, 64, None)
+    radii: Tuple[Tuple[Optional[float], ...], ...] = (
+        (0.01, 0.02),
+        (0.02, 0.04),
+        (0.04, 0.08),
+        (0.08, 0.16),
+        (None, None),
+    )
+    nsamples: Tuple[Tuple[Optional[int], ...], ...] = (
+        (16, 32),
+        (16, 32),
+        (16, 32),
+        (16, 32),
+        (None, None),
+    )
+    mlps: Tuple[Tuple[Tuple[int, ...], ...], ...] = (
+        ((16, 16, 32), (32, 32, 64)),
+        ((64, 64, 128), (64, 96, 128)),
+        ((128, 196, 256), (128, 196, 256)),
+        ((256, 256, 512), (256, 384, 512)),
+        ((512, 512), (512, 512)),
+    )
+    use_xyz: bool = True
+    dropout: float = 0.1  # Fus variant (reference: pointnet2.py:274)
+    num_heads: int = 8
+    input_jitter: float = 1e-3  # train-time cloud jitter (reference: pointnet2.py:332-333)
+
+
+LIGHTER_POINTNET2 = PointNet2Config(
+    npoints=(512, 256, 128, 64, None),
+    radii=((0.01,), (0.02,), (0.04,), (0.08,), (None,)),
+    nsamples=((64,), (32,), (16,), (8,), (None,)),
+    mlps=(
+        ((32, 32, 64),),
+        ((64, 64, 128),),
+        ((128, 196, 256),),
+        ((256, 256, 512),),
+        ((512, 512, 1024),),
+    ),
+)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Network composition (reference: networks/posenet.py:27-124)."""
+
+    pose_mode: str = "rot_matrix"  # 'rot_matrix'(9D) | 'quat_wxyz' | 'quat_xyzw' | 'euler_xyz'
+    regression_head: str = "Rx_Ry_and_T"  # 'RT' | 'R_and_T' | 'Rx_Ry_and_T'
+    pts_encoder: str = "pointnet2"  # 'pointnet2' | 'pointnet' | 'pointnet_and_pointnet2'
+    dino: str = "pointwise"  # 'none' | 'global' | 'pointwise'
+    dino_dim: int = 384
+    global_embedding_dim: int = 60  # roi-center-dir embedding for dino='global'
+    num_points: int = 1024
+    img_size: int = 256
+    patch_size: int = 16
+    pointnet2: PointNet2Config = field(default_factory=PointNet2Config)
+    # EnergyNet modes (reference: networks/gf_algorithms/energynet.py:32-52)
+    energy_mode: str = "IP"  # 'DAE' | 'L2' | 'IP'
+    s_theta_mode: str = "score"  # 'score' | 'decoder' | 'identical'
+    norm_energy: str = "identical"  # 'identical' | 'std' | 'minus'
+    # ScaleNet (reference: networks/scalenet.py:12-31, configs/config.py:41)
+    scale_embedding: int = 180
+
+    @property
+    def pose_dim(self) -> int:
+        return {"quat_wxyz": 7, "quat_xyzw": 7, "euler_xyz": 6, "rot_matrix": 9}[
+            self.pose_mode
+        ]
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization (reference: configs/config.py:54-70, networks/posenet_agent.py:121-139)."""
+
+    agent_type: str = "score"  # 'score' | 'energy' | 'energy_with_ranking' | 'scale'
+    batch_size: int = 192
+    n_epochs: int = 1000
+    lr: float = 1e-3
+    warmup: int = 100  # steps of linear LR warmup
+    lr_decay: float = 0.98  # per-epoch exponential decay
+    lr_floor: float = 1e-4  # (reference: posenet_agent.py:724-730)
+    optimizer: str = "adam"
+    grad_clip: float = 1.0
+    ema_rate: float = 0.999
+    repeat_num: int = 20  # DSM loss repeats per step, vmapped
+    eval_freq: int = 100
+    seed: int = 0
+    scale_batch_size: int = 64  # noised-axes candidates per object (scale agent)
+    ranking_num: int = 5  # candidates per object pulled for ranking loss
+    distillation: bool = False
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation / aggregation (reference: configs/config.py:72-107)."""
+
+    eval_repeat_num: int = 50  # pose candidates per object
+    retain_ratio: float = 0.4
+    clustering: bool = True
+    clustering_eps: float = 0.05
+    clustering_minpts_ratio: float = 0.1667
+    T0: float = 0.55  # single-frame; 0.25 tracking eval; 0.15 infer tracking
+    batch_size: int = 128
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset & augmentation (reference: configs/config.py:9-26,112-131)."""
+
+    data_path: str = ""
+    source: str = "Omni6DPose"  # 'Omni6DPose' | 'xyzibd' | 'synthetic'
+    num_points: int = 1024
+    img_size: int = 256
+    per_obj: str = ""
+    percentage_data: float = 1.0
+    seed: int = 0
+    # Dynamic zoom-in (reference: cfg.DYNAMIC_ZOOM_IN_PARAMS)
+    dzi_pad_scale: float = 1.5
+    dzi_type: str = "uniform"  # 'uniform' | 'roi10d' | 'truncnorm' | 'none'
+    dzi_scale_ratio: float = 0.25
+    dzi_shift_ratio: float = 0.25
+    # 2D mask deformation (reference: cfg.DEFORM_2D_PARAMS)
+    roi_mask_r: int = 3
+    roi_mask_pro: float = 0.5
+    # NOCS-style cloud aug (reference: cfg.PTS_AUG_PARAMS)
+    aug_pc_pro: float = 0.2
+    aug_pc_r: float = 0.2
+    aug_rt_pro: float = 0.3
+    aug_bb_pro: float = 0.3
+    aug_bc_pro: float = 0.3
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh layout. The reference is single-GPU (nn.DataParallel at best,
+    reference: networks/posenet_agent.py:116-118); here data- and candidate-
+    parallelism are first-class mesh axes."""
+
+    data_axis: str = "data"
+    candidate_axis: str = "cand"
+    data_parallel: int = 1
+    candidate_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    sde: SDEConfig = field(default_factory=SDEConfig)
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    log_dir: str = "results"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def tiny_test_config() -> Config:
+    """A small config for unit tests / CPU runs: fewer points, tiny MLPs."""
+    pn2 = PointNet2Config(
+        npoints=(32, 16, None),
+        radii=((0.04, 0.08), (0.08, 0.16), (None, None)),
+        nsamples=((8, 8), (8, 8), (None, None)),
+        mlps=(
+            ((8, 16), (8, 16)),
+            ((16, 32), (16, 32)),
+            ((32, 64), (32, 64)),
+        ),
+    )
+    model = ModelConfig(num_points=128, pointnet2=pn2, dino="none", img_size=64)
+    return Config(
+        model=model,
+        train=TrainConfig(batch_size=4, repeat_num=2),
+        eval=EvalConfig(eval_repeat_num=8, batch_size=4),
+        sampler=SamplerConfig(sampling_steps=20, max_rk45_steps=200),
+    )
