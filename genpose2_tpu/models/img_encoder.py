@@ -1,0 +1,64 @@
+"""Multi-layer DINO feature fusion.
+
+reference: networks/img_encoder/img_encoder.py:6-100: (1) softmax layer
+attention over the 3 intermediate ViT layers, (2) spatial attention modulated
+by a learned relative-position embedding over the patch grid, (3) an
+edge-enhancement conv branch; combined with learned scalar weights.
+
+Input: list of L token tensors (B, P, D); output (B, P, D). P must be a
+square (patch grid).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class ImgEncoder(nn.Module):
+    dim: int = 384
+    num_patches: int = 256  # 16x16 grid for 256px / patch16
+
+    @nn.compact
+    def __call__(self, features):
+        feats = jnp.stack(features, axis=1)  # (B, L, P, D)
+        B, L, P, D = feats.shape
+        h = w = int(np.sqrt(P))
+
+        # (1) layer attention (reference: :58-64)
+        attn = nn.Dense(D // 2)(feats)
+        attn = nn.relu(attn)
+        attn = nn.Dense(1)(attn)  # (B, L, P, 1)
+        attn = nn.softmax(attn, axis=1)
+        fused = jnp.sum(feats * attn, axis=1)  # (B, P, D)
+
+        # (2) spatial relative-position attention (reference: :66-82)
+        coords = np.stack(
+            np.meshgrid(np.arange(h), np.arange(w), indexing="ij"), axis=-1
+        ).reshape(-1, 2)
+        rel = coords[None, :, :] - coords[:, None, :] + (h - 1)  # (P, P, 2), >= 0
+        max_rel = 2 * (h - 1)
+        rel_idx = rel[..., 0] * (2 * (h - 1) + 1) + rel[..., 1]
+        # the reference clamps indices into the (max_rel^2)-sized table
+        # (img_encoder.py:72-74) — same capacity and clamping here
+        rel_idx = np.clip(rel_idx, 0, max_rel * max_rel - 1)
+        rel_emb = nn.Embed(max_rel * max_rel, D // 4)(jnp.asarray(rel_idx))  # (P,P,D/4)
+
+        feat_geo = fused[:, :, D // 4 :]
+        attn_spatial = jnp.einsum("bpd,bqd->bpq", feat_geo, feat_geo)
+        attn_spatial = attn_spatial * jnp.sum(rel_emb, axis=-1)[None]
+        attn_spatial = nn.softmax(attn_spatial, axis=-1)
+        geo = jnp.einsum("bpq,bqd->bpd", attn_spatial, fused)
+
+        # (3) edge enhancement (reference: :86-91)
+        spatial = fused.reshape(B, h, w, D)
+        edge = nn.Conv(D // 4, (3, 3), padding="SAME")(spatial)
+        edge = nn.relu(edge)
+        edge = jnp.mean(edge, axis=(1, 2))  # (B, D/4) adaptive avg pool
+        edge_w = jnp.tile(edge[:, None, :], (1, 1, 4))  # (B, 1, D)
+        edge_enhanced = fused * edge_w
+
+        geo_weight = self.param("geo_weight", nn.initializers.constant(0.2), ())
+        edge_weight = self.param("edge_weight", nn.initializers.constant(0.1), ())
+        return fused + nn.relu(geo_weight) * geo + nn.relu(edge_weight) * edge_enhanced

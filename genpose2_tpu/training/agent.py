@@ -1,0 +1,405 @@
+"""Training/inference agents: optax optimization, EMA, NaN guard, checkpoints.
+
+Functional re-design of the reference's PoseNet agent state machine
+(reference: networks/posenet_agent.py:52-823): the mutable torch module +
+optimizer + EMA-juggling becomes one immutable TrainState pytree advanced by
+jitted steps. Per-agent-type losses:
+
+- score:  denoising score matching, ``repeat_num`` draws vmapped in one step
+  (reference: posenet_agent.py:205-226 runs a 20x Python loop);
+- energy: DSM on the energy-gradient score (second-order AD, the reference's
+  create_graph=True, energynet.py:221-226) + optional pairwise ranking loss on
+  candidates from a frozen score agent (posenet_agent.py:253-288, 316-338);
+- scale:  MSE x 1e4 on bbox lengths over noised-axes candidate batches
+  (posenet_agent.py:290-314, 371-383).
+
+Candidate sampling (``sample_candidates``) computes the conditioning feature
+ONCE per object and broadcasts it across the K-candidate axis before running
+the on-device ODE — the reference repeats every input tensor K times through
+the whole encoder path (reference: posenet_agent.py:510-527).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from genpose2_tpu.config import Config
+from genpose2_tpu.diffusion import init_sde, ode_sampler, pc_sampler
+from genpose2_tpu.diffusion.losses import dsm_loss
+from genpose2_tpu.models.posenet import GFObjectPose
+from genpose2_tpu.models.scalenet import ScaleNet, scale_loss
+from genpose2_tpu.training.ema import ema_init, ema_update
+from genpose2_tpu.training.ranking import ranking_loss, sort_results
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    constants: Any
+    opt_state: Any
+    ema_params: Any
+    ema_updates: jnp.ndarray
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int):
+    """Linear warmup (cfg.train.warmup steps) then per-epoch exponential decay
+    with a floor (reference: posenet_agent.py:121-139, 721-730)."""
+    t = cfg.train
+
+    def schedule(step):
+        warm = jnp.minimum(1.0, (step + 1.0) / max(t.warmup, 1))
+        epoch = step // max(steps_per_epoch, 1)
+        decayed = jnp.maximum(t.lr * t.lr_decay**epoch, t.lr_floor)
+        return warm * decayed
+
+    return schedule
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class PoseAgent:
+    """Owner of a GFObjectPose ('score' or 'energy') plus its optimization."""
+
+    def __init__(self, cfg: Config, agent_type: Optional[str] = None, steps_per_epoch: int = 1000):
+        self.cfg = cfg
+        self.agent_type = agent_type or cfg.train.agent_type
+        self.sde = init_sde(cfg.sde)
+        self.marginal_std_fn = lambda t: self.sde.marginal_prob(None, t)[1]
+        self.model = GFObjectPose(cfg.model, self.marginal_std_fn, self.agent_type)
+        self.lr_schedule = make_lr_schedule(cfg, steps_per_epoch)
+        opt = {
+            "adam": optax.adam(self.lr_schedule),
+            "sgd": optax.sgd(self.lr_schedule, momentum=0.9),
+        }[cfg.train.optimizer]
+        self.tx = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip), opt)
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, key, sample_batch) -> TrainState:
+        kp, ka, kd = jax.random.split(key, 3)
+        B = sample_batch["pts"].shape[0]
+        init_batch = dict(sample_batch)
+        init_batch.setdefault("sampled_pose", jnp.zeros((B, self.cfg.model.pose_dim)))
+        init_batch.setdefault("t", jnp.full((B, 1), 0.5))
+        variables = self.model.init(
+            {"params": kp, "aug": ka, "dropout": kd}, init_batch, False
+        )
+        params = variables["params"]
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            constants=variables.get("constants", {}),
+            opt_state=self.tx.init(params),
+            ema_params=ema_init(params),
+            ema_updates=jnp.asarray(0, jnp.float32),
+        )
+
+    def _variables(self, state: TrainState, use_ema: bool = False):
+        return {
+            "params": state.ema_params if use_ema else state.params,
+            "batch_stats": state.batch_stats,
+            "constants": state.constants,
+        }
+
+    # ------------------------------------------------------------- features
+    def extract_features(self, state: TrainState, batch, use_ema: bool = True):
+        v = self._variables(state, use_ema)
+        pts_feat = self.model.apply(v, batch, False, method=GFObjectPose.extract_pts_feature)
+        rgb_feat = (
+            self.model.apply(v, batch, method=GFObjectPose.extract_global_rgb_feature)
+            if self.cfg.model.dino == "global"
+            else None
+        )
+        return pts_feat, rgb_feat
+
+    def score_fn(self, state: TrainState, pts_feat, rgb_feat, use_ema: bool = True):
+        """Pure (x, t) -> score closure for the samplers."""
+        v = self._variables(state, use_ema)
+        if self.agent_type == "score":
+
+            def fn(x, t):
+                return self.model.apply(v, pts_feat, rgb_feat, x, t, method=GFObjectPose.score)
+
+            return fn
+
+        def fn(x, t):
+            def e(p):
+                out = self.model.apply(
+                    v, pts_feat, rgb_feat, p, t, False, method=GFObjectPose.energy
+                )
+                return jnp.sum(out)
+
+            return jax.grad(e)(x)
+
+        return fn
+
+    # ------------------------------------------------------------ train step
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: TrainState, batch, key):
+        """One optimization step. batch: dict with 'pts' (zero-centered),
+        'zero_mean_gt_pose', optional dino inputs; energy agents additionally
+        'candidate_poses' (B, K, D) + 'candidate_metrics' (B, K, 2) when
+        ranking. Returns (new_state, metrics dict)."""
+        k_aug, k_drop, k_loss, k_rank = jax.random.split(key, 4)
+
+        def loss_fn(params):
+            variables = {
+                "params": params,
+                "batch_stats": state.batch_stats,
+                "constants": state.constants,
+            }
+            pts_feat, mut = self.model.apply(
+                variables,
+                batch,
+                True,
+                method=GFObjectPose.extract_pts_feature,
+                mutable=["batch_stats"],
+                rngs={"aug": k_aug, "dropout": k_drop},
+            )
+            rgb_feat = (
+                self.model.apply(variables, batch, method=GFObjectPose.extract_global_rgb_feature)
+                if self.cfg.model.dino == "global"
+                else None
+            )
+            run_vars = {
+                "params": params,
+                "batch_stats": mut["batch_stats"],
+                "constants": state.constants,
+            }
+            if self.agent_type == "score":
+
+                def sfn(x, t):
+                    return self.model.apply(
+                        run_vars, pts_feat, rgb_feat, x, t, method=GFObjectPose.score
+                    )
+
+            else:
+
+                def sfn(x, t):
+                    def e(p):
+                        return jnp.sum(
+                            self.model.apply(
+                                run_vars, pts_feat, rgb_feat, p, t, False,
+                                method=GFObjectPose.energy,
+                            )
+                        )
+
+                    return jax.grad(e)(x)
+
+            loss = dsm_loss(
+                k_loss, sfn, batch["zero_mean_gt_pose"], self.sde, self.cfg.train.repeat_num
+            )
+            metrics = {"score_loss": loss}
+
+            if self.agent_type == "energy" and "candidate_poses" in batch:
+                cand = batch["candidate_poses"]  # (B, K, D) zero-centered
+                B, K, D = cand.shape
+                t = jax.random.uniform(k_rank, (B * K, 1), cand.dtype, 1e-5, 1e-4)
+                feat_rep = jnp.repeat(pts_feat, K, axis=0)
+                rgb_rep = None if rgb_feat is None else jnp.repeat(rgb_feat, K, axis=0)
+                energy = self.model.apply(
+                    run_vars, feat_rep, rgb_rep, cand.reshape(B * K, D), t, True,
+                    method=GFObjectPose.energy,
+                ).reshape(B, K, 2)
+                sorted_e = sort_results(energy, batch["candidate_metrics"])
+                r_loss = ranking_loss(sorted_e)
+                metrics["ranking_loss"] = r_loss
+                loss = loss + r_loss
+
+            metrics["loss"] = loss
+            return loss, (mut, metrics)
+
+        (loss, (mut, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # NaN guard: skip the whole update on a non-finite loss
+        # (reference: posenet_agent.py:711-713)
+        finite = jnp.isfinite(loss)
+        new_params = _tree_where(finite, new_params, state.params)
+        new_opt_state = _tree_where(finite, new_opt_state, state.opt_state)
+        new_bs = _tree_where(finite, mut["batch_stats"], state.batch_stats)
+
+        ema_params, ema_updates = ema_update(
+            state.ema_params, new_params, state.ema_updates, self.cfg.train.ema_rate
+        )
+        ema_params = _tree_where(finite, ema_params, state.ema_params)
+
+        metrics["lr"] = self.lr_schedule(state.step)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+            ema_params=ema_params,
+            ema_updates=jnp.where(finite, ema_updates, state.ema_updates),
+        )
+        return new_state, metrics
+
+    # -------------------------------------------------------------- sampling
+    @functools.partial(
+        jax.jit,
+        static_argnums=(0,),
+        static_argnames=("repeat_num", "T0", "use_ema", "method", "num_steps"),
+    )
+    def sample_candidates(
+        self,
+        state: TrainState,
+        batch,
+        key,
+        repeat_num: int = 50,
+        T0: float = 1.0,
+        init_x: Optional[jnp.ndarray] = None,
+        use_ema: bool = True,
+        method: str = "rk45",
+        num_steps: int = 500,
+    ):
+        """Sample ``repeat_num`` pose candidates per object with the on-device
+        probability-flow ODE. Returns (B, K, D) poses in the camera frame
+        (pts_center re-added). ``init_x`` (B, D) or (B, K, D), zero-centered,
+        warm-starts tracking (reference: posenet_agent.py:490-584)."""
+        pts_feat, rgb_feat = self.extract_features(state, batch, use_ema)
+        B = pts_feat.shape[0]
+        K = repeat_num
+        D = self.cfg.model.pose_dim
+        feat_rep = jnp.repeat(pts_feat, K, axis=0)
+        rgb_rep = None if rgb_feat is None else jnp.repeat(rgb_feat, K, axis=0)
+        sfn = self.score_fn(state, feat_rep, rgb_rep, use_ema)
+        center = batch.get("pts_center")
+        center_rep = None if center is None else jnp.repeat(center, K, axis=0)
+        if init_x is not None:
+            if init_x.ndim == 2:
+                init_x = jnp.repeat(init_x, K, axis=0)
+            else:
+                init_x = init_x.reshape(B * K, D)
+        poses, _ = ode_sampler(
+            key,
+            sfn,
+            self.sde,
+            B * K,
+            D,
+            T0=T0,
+            init_x=init_x,
+            num_steps=num_steps,
+            pose_mode=self.cfg.model.pose_mode,
+            pts_center=center_rep,
+            method=method,
+            atol=self.cfg.sampler.atol,
+            rtol=self.cfg.sampler.rtol,
+            max_steps=self.cfg.sampler.max_rk45_steps,
+        )
+        return poses.reshape(B, K, D)
+
+    @functools.partial(
+        jax.jit, static_argnums=(0,), static_argnames=("use_ema", "fixed_t")
+    )
+    def get_energy(
+        self,
+        state: TrainState,
+        batch,
+        poses,
+        use_ema: bool = True,
+        fixed_t: Optional[float] = 1e-5,
+        key: Optional[jax.Array] = None,
+    ):
+        """Energy of candidate poses (B, K, D) -> (B, K, 2). Poses are given in
+        the camera frame; the point-cloud center is subtracted to match the
+        zero-centered training distribution (reference: posenet_agent.py:608-705).
+        """
+        assert self.agent_type == "energy"
+        pts_feat, rgb_feat = self.extract_features(state, batch, use_ema)
+        B, K, D = poses.shape
+        center = batch.get("pts_center")
+        if center is not None:
+            poses = poses.at[..., -3:].add(-center[:, None, :])
+        flat = poses.reshape(B * K, D)
+        if fixed_t is None:
+            t = jax.random.uniform(key, (B * K, 1), flat.dtype, 1e-5, 1e-4)
+        else:
+            t = jnp.full((B * K, 1), fixed_t, flat.dtype)
+        feat_rep = jnp.repeat(pts_feat, K, axis=0)
+        rgb_rep = None if rgb_feat is None else jnp.repeat(rgb_feat, K, axis=0)
+        v = self._variables(state, use_ema)
+        energy = self.model.apply(
+            v, feat_rep, rgb_rep, flat, t, True, method=GFObjectPose.energy
+        )
+        return energy.reshape(B, K, 2)
+
+
+class ScaleAgent:
+    """ScaleNet trained on frozen score-encoder features
+    (reference: runners/trainer.py:190-254, posenet_agent.py:290-314)."""
+
+    def __init__(self, cfg: Config, steps_per_epoch: int = 1000):
+        self.cfg = cfg
+        self.model = ScaleNet(cfg.model.scale_embedding)
+        self.lr_schedule = make_lr_schedule(cfg, steps_per_epoch)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.train.grad_clip), optax.adam(self.lr_schedule)
+        )
+
+    def init_state(self, key, pts_dim: int = 1024) -> TrainState:
+        variables = self.model.init(
+            key, jnp.zeros((1, pts_dim)), jnp.zeros((1, 3, 3))
+        )
+        params = variables["params"]
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            batch_stats={},
+            constants={},
+            opt_state=self.tx.init(params),
+            ema_params=ema_init(params),
+            ema_updates=jnp.asarray(0, jnp.float32),
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: TrainState, batch, key):
+        """batch: 'pts_feat' (B, F) frozen features, 'axes_training'
+        (B, S, 3, 3) noised GT axes, 'gt_length' (B, 3)."""
+        axes = batch["axes_training"]
+        B, S = axes.shape[:2]
+
+        def loss_fn(params):
+            feat_rep = jnp.repeat(batch["pts_feat"], S, axis=0)
+            pred = self.model.apply(
+                {"params": params}, feat_rep, axes.reshape(B * S, 3, 3)
+            )
+            gt = jnp.repeat(batch["gt_length"], S, axis=0)
+            return scale_loss(pred, gt)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        finite = jnp.isfinite(loss)
+        new_params = _tree_where(finite, new_params, state.params)
+        new_opt_state = _tree_where(finite, new_opt_state, state.opt_state)
+        ema_params, ema_updates = ema_update(
+            state.ema_params, new_params, state.ema_updates, self.cfg.train.ema_rate
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=_tree_where(finite, ema_params, state.ema_params),
+            ema_updates=jnp.where(finite, ema_updates, state.ema_updates),
+        )
+        return new_state, {"loss": loss}
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def predict(self, state: TrainState, pts_feat, axes, use_ema: bool = True):
+        params = state.ema_params if use_ema else state.params
+        return self.model.apply({"params": params}, pts_feat, axes)

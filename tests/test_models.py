@@ -1,0 +1,246 @@
+"""Shape-golden and behavior tests for the network stack.
+
+Dimension goldens follow the reference: pts_feat is 1024-d
+(reference: pointnet2.py:77-89 — final stage (512, 512) x 2 scales), score-net
+fusion input is 128+256+1024 (+dino) (reference: scorenet.py:153), zero-init
+heads emit exactly 0 at init (reference: scorenet.py:15-21).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genpose2_tpu.config import ModelConfig, PointNet2Config, tiny_test_config
+from genpose2_tpu.diffusion import init_sde
+from genpose2_tpu.models import (
+    GFObjectPose,
+    ImgEncoder,
+    PointNet2ClsMSG,
+    PointNet2ClsMSGFus,
+    PointNetFeat,
+    PoseEnergyNet,
+    PoseScoreNet,
+    ScaleNet,
+    vit_s16,
+)
+from genpose2_tpu.models.posenet import energy_score_fn
+
+SDE = init_sde("ve")
+
+
+def std_fn(t):
+    return SDE.marginal_prob(None, t)[1]
+
+
+TINY = tiny_test_config()
+
+
+class TestPointNet2:
+    def test_cls_msg_output_shape(self):
+        cfg = TINY.model.pointnet2
+        model = PointNet2ClsMSG(cfg)
+        pts = jnp.asarray(np.random.default_rng(0).normal(size=(2, 128, 3)), jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), pts)
+        out = model.apply(vars_, pts)
+        expected = sum(m[-1] for m in cfg.mlps[-1])
+        assert out.shape == (2, expected)
+
+    def test_fus_encoder_with_features(self):
+        cfg = TINY.model.pointnet2
+        model = PointNet2ClsMSGFus(cfg)
+        pc = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 128, 3 + 16)), jnp.float32
+        )
+        vars_ = model.init(
+            {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)}, pc
+        )
+        out = model.apply(vars_, pc)
+        expected = sum(m[-1] for m in cfg.mlps[-1])
+        assert out.shape == (2, expected)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_fus_train_mode_with_bn_and_dropout(self):
+        cfg = TINY.model.pointnet2
+        model = PointNet2ClsMSGFus(cfg)
+        pc = jnp.asarray(np.random.default_rng(0).normal(size=(2, 128, 19)), jnp.float32)
+        vars_ = model.init(
+            {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)}, pc
+        )
+        out, mutated = model.apply(
+            vars_,
+            pc,
+            True,
+            rngs={"aug": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+            mutable=["batch_stats"],
+        )
+        assert "batch_stats" in mutated
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_full_light_config_dims(self):
+        # the real ClsMSG_CFG_Light stack -> 1024-d global feature
+        cfg = PointNet2Config()
+        model = PointNet2ClsMSG(cfg)
+        pts = jnp.asarray(np.random.default_rng(0).normal(size=(1, 1024, 3)), jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), pts)
+        out = model.apply(vars_, pts)
+        assert out.shape == (1, 1024)
+
+
+class TestPointNetLegacy:
+    def test_shapes(self):
+        model = PointNetFeat(out_dim=1024)
+        pts = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 3)), jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), pts)
+        assert model.apply(vars_, pts).shape == (2, 1024)
+
+
+class TestScoreNet:
+    def test_zero_init_and_std_normalization(self):
+        model = PoseScoreNet(std_fn, pose_dim=9)
+        B = 4
+        pts_feat = jnp.ones((B, 1024))
+        pose = jnp.ones((B, 9))
+        t = jnp.full((B, 1), 0.5)
+        vars_ = model.init(jax.random.PRNGKey(0), pts_feat, None, pose, t)
+        out = model.apply(vars_, pts_feat, None, pose, t)
+        assert out.shape == (B, 9)
+        # zero-initialized output layers -> exactly zero scores at init
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    @pytest.mark.parametrize("head", ["RT", "R_and_T", "Rx_Ry_and_T"])
+    def test_heads(self, head):
+        model = PoseScoreNet(std_fn, pose_dim=9, regression_head=head)
+        B = 2
+        args = (jnp.ones((B, 1024)), None, jnp.ones((B, 9)), jnp.full((B, 1), 0.3))
+        vars_ = model.init(jax.random.PRNGKey(0), *args)
+        assert model.apply(vars_, *args).shape == (B, 9)
+
+    def test_global_dino_head(self):
+        model = PoseScoreNet(std_fn, pose_dim=9, dino_dim=384 + 60)
+        B = 2
+        args = (
+            jnp.ones((B, 1024)),
+            jnp.ones((B, 444)),
+            jnp.ones((B, 9)),
+            jnp.full((B, 1), 0.3),
+        )
+        vars_ = model.init(jax.random.PRNGKey(0), *args)
+        assert model.apply(vars_, *args).shape == (B, 9)
+
+
+class TestEnergyNet:
+    def _mk(self, **kw):
+        model = PoseEnergyNet(std_fn, pose_dim=9, **kw)
+        B = 4
+        args = (jnp.ones((B, 1024)), None, jnp.ones((B, 9)), jnp.full((B, 1), 0.5))
+        vars_ = model.init(jax.random.PRNGKey(1), *args)
+        return model, vars_, args
+
+    def test_decoupled_energy_shape(self):
+        model, vars_, args = self._mk()
+        e = model.apply(vars_, *args)
+        assert e.shape == (4, 2)  # (rot, trans) energies
+
+    def test_coupled_energy_shape(self):
+        model, vars_, args = self._mk()
+        e = model.apply(vars_, *args, False)
+        assert e.shape == (4,)
+
+    @pytest.mark.parametrize("energy_mode", ["DAE", "L2", "IP"])
+    @pytest.mark.parametrize("s_theta_mode", ["score", "decoder", "identical"])
+    def test_mode_matrix(self, energy_mode, s_theta_mode):
+        model, vars_, args = self._mk(energy_mode=energy_mode, s_theta_mode=s_theta_mode)
+        e = model.apply(vars_, *args, False)
+        assert np.isfinite(np.asarray(e)).all()
+
+    def test_norm_energy_modes(self):
+        for norm in ["identical", "std", "minus"]:
+            model, vars_, args = self._mk(norm_energy=norm)
+            e = model.apply(vars_, *args)
+            assert np.isfinite(np.asarray(e)).all()
+
+
+class TestScaleNet:
+    def test_output_and_zero_init(self):
+        model = ScaleNet(180)
+        B = 3
+        pts_feat = jnp.ones((B, 1024))
+        axes = jnp.tile(jnp.eye(3), (B, 1, 1))
+        vars_ = model.init(jax.random.PRNGKey(0), pts_feat, axes)
+        out = model.apply(vars_, pts_feat, axes)
+        assert out.shape == (B, 3)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)  # zero-init head
+
+
+class TestImgEncoderViT:
+    def test_img_encoder_shapes(self):
+        enc = ImgEncoder(dim=64, num_patches=16)
+        feats = [jnp.ones((2, 16, 64)) * i for i in range(3)]
+        vars_ = enc.init(jax.random.PRNGKey(0), feats)
+        out = enc.apply(vars_, feats)
+        assert out.shape == (2, 16, 64)
+
+    def test_vit_intermediate_layers(self):
+        vit = vit_s16(depth=4)
+        x = jnp.ones((1, 64, 64, 3))
+        vars_ = vit.init(jax.random.PRNGKey(0), x, (1, 3))
+        outs = vit.apply(vars_, x, (1, 3))
+        assert len(outs) == 2
+        assert outs[0].shape == (1, 16, 384)  # 64/16 = 4x4 patches
+
+
+class TestGFObjectPose:
+    def test_score_composition_dino_none(self):
+        model = GFObjectPose(TINY.model, std_fn, "score")
+        B, N = 2, 128
+        data = {
+            "pts": jnp.asarray(np.random.default_rng(0).normal(size=(B, N, 3)), jnp.float32),
+            "sampled_pose": jnp.zeros((B, 9)),
+            "t": jnp.full((B, 1), 0.5),
+        }
+        vars_ = model.init(jax.random.PRNGKey(0), data)
+        out = model.apply(vars_, data)
+        assert out.shape == (B, 9)
+
+    def test_energy_score_fn_grad(self):
+        model = GFObjectPose(TINY.model, std_fn, "energy")
+        B, N = 2, 128
+        data = {
+            "pts": jnp.asarray(np.random.default_rng(0).normal(size=(B, N, 3)), jnp.float32),
+            "sampled_pose": jnp.zeros((B, 9)),
+            "t": jnp.full((B, 1), 0.5),
+        }
+        vars_ = model.init(jax.random.PRNGKey(0), data)
+        pts_feat = model.apply(vars_, data, method=GFObjectPose.extract_pts_feature)
+        sfn = energy_score_fn(model, vars_, pts_feat, None)
+        s = sfn(jnp.ones((B, 9)), jnp.full((B, 1), 0.5))
+        assert s.shape == (B, 9)
+        assert np.isfinite(np.asarray(s)).all()
+
+    def test_pointwise_dino_composition(self):
+        cfg = ModelConfig(
+            num_points=64,
+            pointnet2=TINY.model.pointnet2,
+            dino="pointwise",
+            dino_dim=32,
+            img_size=64,
+            patch_size=16,
+        )
+        model = GFObjectPose(cfg, std_fn, "score")
+        B, N, P = 2, 64, 16
+        rng = np.random.default_rng(0)
+        data = {
+            "pts": jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32),
+            "dino_layers": [jnp.asarray(rng.normal(size=(B, P, 32)), jnp.float32)] * 3,
+            "roi_xs": jnp.asarray(rng.integers(0, 64, size=(B, N))),
+            "roi_ys": jnp.asarray(rng.integers(0, 64, size=(B, N))),
+            "sampled_pose": jnp.zeros((B, 9)),
+            "t": jnp.full((B, 1), 0.5),
+        }
+        vars_ = model.init(
+            {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)}, data
+        )
+        out = model.apply(vars_, data)
+        assert out.shape == (B, 9)
+        assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,174 @@
+"""Tests for point-cloud kernels: brute-force oracles reproduce the CUDA
+semantics (reference: src/sampling_gpu.cu:93-253, src/ball_query_gpu.cu:9-45),
+and the Pallas FPS is checked against the jnp reference (interpret mode on CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genpose2_tpu.ops import (
+    ball_query,
+    fps_pallas,
+    fps_ref,
+    gather_points,
+    group_points,
+    three_interpolate,
+    three_nn,
+)
+
+
+def fps_numpy(xyz, npoint):
+    """Direct transcription of the CUDA FPS loop semantics
+    (reference: sampling_gpu.cu:113-137): start at 0, iterative min-dist
+    update, argmax (first index on ties)."""
+    B, N, _ = xyz.shape
+    out = np.zeros((B, npoint), np.int32)
+    for b in range(B):
+        temp = np.full(N, 1e10, np.float64)
+        old = 0
+        for j in range(1, npoint):
+            d = np.sum((xyz[b] - xyz[b, old]) ** 2, axis=-1)
+            temp = np.minimum(temp, d)
+            old = int(np.argmax(temp))
+            out[b, j] = old
+    return out
+
+
+def ball_query_numpy(xyz, new_xyz, radius, nsample):
+    """Direct transcription of ball_query_gpu.cu:28-44."""
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    idx = np.zeros((B, M, nsample), np.int32)
+    for b in range(B):
+        for m in range(M):
+            cnt = 0
+            for k in range(N):
+                d2 = np.sum((new_xyz[b, m] - xyz[b, k]) ** 2)
+                if d2 < radius * radius:
+                    if cnt == 0:
+                        idx[b, m, :] = k
+                    idx[b, m, cnt] = k
+                    cnt += 1
+                    if cnt >= nsample:
+                        break
+    return idx
+
+
+class TestFPS:
+    def test_ref_matches_cuda_semantics(self, rng):
+        xyz = rng.normal(size=(4, 64, 3)).astype(np.float32)
+        expected = fps_numpy(xyz, 16)
+        got = np.asarray(fps_ref(jnp.asarray(xyz), 16))
+        np.testing.assert_array_equal(got, expected)
+
+    def test_pallas_matches_ref(self, rng):
+        xyz = rng.normal(size=(12, 256, 3)).astype(np.float32)
+        a = np.asarray(fps_ref(jnp.asarray(xyz), 64))
+        b = np.asarray(fps_pallas(jnp.asarray(xyz), 64, 8))
+        np.testing.assert_array_equal(a, b)
+
+    def test_pallas_batch_padding(self, rng):
+        # batch not a multiple of the row tile
+        xyz = rng.normal(size=(5, 128, 3)).astype(np.float32)
+        a = np.asarray(fps_ref(jnp.asarray(xyz), 32))
+        b = np.asarray(fps_pallas(jnp.asarray(xyz), 32, 4))
+        np.testing.assert_array_equal(a, b)
+
+    def test_coverage_property(self, rng):
+        # FPS indices are distinct and spread: max point-to-sample distance is
+        # below max point-to-random-sample distance
+        xyz = rng.normal(size=(2, 512, 3)).astype(np.float32)
+        idx = np.asarray(fps_ref(jnp.asarray(xyz), 128))
+        for b in range(2):
+            assert len(np.unique(idx[b])) == 128
+            samples = xyz[b, idx[b]]
+            d = np.linalg.norm(xyz[b][:, None] - samples[None], axis=-1).min(1)
+            rand_idx = rng.choice(512, 128, replace=False)
+            d_rand = (
+                np.linalg.norm(xyz[b][:, None] - xyz[b][rand_idx][None], axis=-1).min(1)
+            )
+            assert d.max() <= d_rand.max() + 1e-6
+
+
+class TestBallQuery:
+    def test_matches_cuda_semantics(self, rng):
+        xyz = rng.uniform(-0.5, 0.5, size=(3, 96, 3)).astype(np.float32)
+        new_xyz = xyz[:, :24]
+        for radius, nsample in [(0.1, 8), (0.3, 16), (0.05, 4)]:
+            expected = ball_query_numpy(xyz, new_xyz, radius, nsample)
+            got = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), radius, nsample))
+            np.testing.assert_array_equal(got, expected, err_msg=f"r={radius}")
+
+    def test_empty_ball_returns_zeros(self):
+        xyz = jnp.asarray(np.array([[[10.0, 10, 10], [20, 20, 20]]], np.float32))
+        new_xyz = jnp.zeros((1, 1, 3), jnp.float32)
+        idx = np.asarray(ball_query(xyz, new_xyz, 0.1, 4))
+        np.testing.assert_array_equal(idx, np.zeros((1, 1, 4), np.int32))
+
+    def test_chunked_matches_unchunked(self, rng):
+        xyz = rng.uniform(-0.5, 0.5, size=(37, 64, 3)).astype(np.float32)
+        new_xyz = xyz[:, :16]
+        a = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.2, 8, 8))
+        b = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.2, 8, 64))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestGrouping:
+    def test_gather(self, rng):
+        feats = rng.normal(size=(2, 32, 5)).astype(np.float32)
+        idx = rng.integers(0, 32, size=(2, 7)).astype(np.int32)
+        out = np.asarray(gather_points(jnp.asarray(feats), jnp.asarray(idx)))
+        for b in range(2):
+            np.testing.assert_array_equal(out[b], feats[b, idx[b]])
+
+    def test_group(self, rng):
+        feats = rng.normal(size=(2, 32, 5)).astype(np.float32)
+        idx = rng.integers(0, 32, size=(2, 7, 4)).astype(np.int32)
+        out = np.asarray(group_points(jnp.asarray(feats), jnp.asarray(idx)))
+        for b in range(2):
+            np.testing.assert_array_equal(out[b], feats[b][idx[b]])
+
+    def test_group_grad_is_scatter_add(self, rng):
+        # gradient w.r.t. features accumulates duplicate indices (CUDA atomicAdd
+        # equivalent, but deterministic)
+        feats = jnp.asarray(rng.normal(size=(1, 8, 2)).astype(np.float32))
+        idx = jnp.asarray(np.array([[[0, 0, 3]]], np.int32))  # index 0 twice
+
+        def f(x):
+            return jnp.sum(group_points(x, idx))
+
+        g = np.asarray(jax.grad(f)(feats))
+        expected = np.zeros((1, 8, 2), np.float32)
+        expected[0, 0] = 2.0
+        expected[0, 3] = 1.0
+        np.testing.assert_array_equal(g, expected)
+
+
+class TestInterpolate:
+    def test_three_nn(self, rng):
+        unknown = rng.normal(size=(2, 20, 3)).astype(np.float32)
+        known = rng.normal(size=(2, 9, 3)).astype(np.float32)
+        dist, idx = three_nn(jnp.asarray(unknown), jnp.asarray(known))
+        d_full = np.linalg.norm(unknown[:, :, None] - known[:, None], axis=-1)
+        expected_idx = np.argsort(d_full, axis=-1)[..., :3]
+        np.testing.assert_allclose(
+            np.sort(np.asarray(dist), -1), np.sort(np.take_along_axis(d_full, expected_idx, -1), -1),
+            atol=1e-5,
+        )
+        # sets of 3-NN indices agree
+        for b in range(2):
+            for n in range(20):
+                assert set(np.asarray(idx)[b, n]) == set(expected_idx[b, n])
+
+    def test_three_interpolate_weights(self, rng):
+        feats = rng.normal(size=(1, 6, 4)).astype(np.float32)
+        idx = np.array([[[0, 2, 4], [1, 1, 1]]], np.int32)
+        w = np.array([[[0.5, 0.3, 0.2], [1.0, 0.0, 0.0]]], np.float32)
+        out = np.asarray(
+            three_interpolate(jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w))
+        )
+        expected0 = 0.5 * feats[0, 0] + 0.3 * feats[0, 2] + 0.2 * feats[0, 4]
+        np.testing.assert_allclose(out[0, 0], expected0, atol=1e-6)
+        np.testing.assert_allclose(out[0, 1], feats[0, 1], atol=1e-6)
