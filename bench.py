@@ -1,0 +1,100 @@
+"""End-to-end benchmark: pose-candidate throughput of the eval pipeline.
+
+Workload = the reference's single-frame evaluation configuration
+(reference: scripts/eval_single.sh, configs/config.py:21,75): batch of 128
+objects x 1024-point clouds, 50 pose candidates each, probability-flow ODE
+from T0=0.55, energy-free aggregation (sort/retain/cluster/average). Encoder,
+sampler, and aggregation all run on device in one jit program.
+
+Baseline: the reference implements this loop as scipy RK45 on the host
+calling the GPU score model per step (reference: samplers.py:204-234) on one
+RTX 4090. The repo publishes no throughput number (BASELINE.md); we use an
+optimistic estimate of 6,400 candidates/s for vs_baseline — i.e. one ~1 s
+host-looped solve_ivp per 128x50-candidate batch — so the reported ratio is a
+floor, not a cherry-pick.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from genpose2_tpu.config import default_config
+from genpose2_tpu.data.synthetic import SyntheticPoseData
+from genpose2_tpu.eval import aggregate_candidates
+from genpose2_tpu.training import PoseAgent
+
+BASELINE_CANDIDATES_PER_S = 6400.0  # optimistic reference estimate (see docstring)
+
+
+def main():
+    from genpose2_tpu.config import ModelConfig
+
+    # dino='none' path this round: full PointNet++ encoder + ODE + aggregation
+    # (the pointwise-DINO ViT path is benchmarked separately once the image
+    # provider is wired into the eval pipeline)
+    cfg = default_config().replace(model=ModelConfig(dino="none"))
+    B = 128
+    K = cfg.eval.eval_repeat_num  # 50
+    N = cfg.model.num_points  # 1024
+
+    agent = PoseAgent(cfg, "score", steps_per_epoch=1000)
+    data = SyntheticPoseData(num_points=N)
+    key = jax.random.PRNGKey(0)
+    batch = data.batch(key, B)
+    batch = {k: batch[k] for k in ("pts", "zero_mean_gt_pose", "pts_center")}
+    state = agent.init_state(key, batch)
+
+    @jax.jit
+    def pipeline(state, batch, key):
+        poses = agent.sample_candidates(
+            state,
+            batch,
+            key,
+            repeat_num=K,
+            T0=0.55,
+            method="fixed",
+            num_steps=50,
+        )
+        agg = aggregate_candidates(
+            poses,
+            None,
+            retain_ratio=cfg.eval.retain_ratio,
+            clustering=cfg.eval.clustering,
+            eps=cfg.eval.clustering_eps,
+            minpts_ratio=cfg.eval.clustering_minpts_ratio,
+        )
+        return agg["rotation"], agg["translation"]
+
+    # compile + warm up — with a forced D2H transfer: on some remote backends
+    # block_until_ready resolves before remote execution completes, so timing
+    # must include materialization. Keys are distinct per call (identical
+    # inputs can be served from an execution cache).
+    R, t = pipeline(state, batch, jax.random.PRNGKey(10_000))
+    _ = float(t[0, 0])
+
+    reps = 5
+    start = time.perf_counter()
+    for i in range(reps):
+        R, t = pipeline(state, batch, jax.random.PRNGKey(i))
+        _ = float(t[0, 0])
+    dt = (time.perf_counter() - start) / reps
+
+    cand_per_s = B * K / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pose_candidates_per_s_per_chip",
+                "value": round(cand_per_s, 1),
+                "unit": "candidates/s (B=128 objects, K=50, N=1024, encoder+ODE+aggregation)",
+                "vs_baseline": round(cand_per_s / BASELINE_CANDIDATES_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -240,6 +240,10 @@ def tiny_test_config() -> Config:
     model = ModelConfig(num_points=128, pointnet2=pn2, dino="none", img_size=64)
     return Config(
         model=model,
+        # a gentler VE schedule: with sigma_max=50 an under-trained tiny score
+        # net sends ODE trajectories off the typical set (full-size training
+        # uses the reference's sigma_max=50 default)
+        sde=SDEConfig(sigma_max=2.0),
         train=TrainConfig(batch_size=4, repeat_num=2),
         eval=EvalConfig(eval_repeat_num=8, batch_size=4),
         sampler=SamplerConfig(sampling_steps=20, max_rk45_steps=200),
