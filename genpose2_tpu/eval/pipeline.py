@@ -1,0 +1,184 @@
+"""Staged single-frame evaluation pipeline.
+
+reference: runners/evaluation_single.py:78-431 — a 7-stage idempotent pipeline
+where each stage persists its output and re-runs only if missing:
+score sampling -> energy scoring -> aggregation -> scale -> detect-match ->
+criterion -> metrics. Stages here cache as .npz under ``out_dir`` with the same
+skip-if-exists behavior (the reference's de-facto resume mechanism, SURVEY §5),
+while each stage's compute is a single jitted program per batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genpose2_tpu.config import Config
+from genpose2_tpu.eval.aggregate import aggregate_candidates, analytic_bbox_lengths
+from genpose2_tpu.eval.metrics import batch_criterion, compute_metrics
+
+
+def _stage(path):
+    return path is not None and os.path.exists(path)
+
+
+def _save_list(path, arrays):
+    np.savez(path, **{f"b{i}": np.asarray(a) for i, a in enumerate(arrays)})
+
+
+def _load_list(path):
+    d = np.load(path)
+    return [d[f"b{i}"] for i in range(len(d.files))]
+
+
+class SingleFrameEvaluator:
+    """Drives the staged pipeline over an iterable of processed batches.
+
+    score_agent/state are required; energy_agent/state and a scale predictor
+    are optional (without energy, candidates aggregate with uniform energies,
+    reference: evaluation_single.py:168-172; without scale, the analytic
+    rotated-cloud bbox is used, :230-254)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        score_agent,
+        score_state,
+        energy_agent=None,
+        energy_state=None,
+        scale_fn: Optional[Callable] = None,
+        out_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.score_agent = score_agent
+        self.score_state = score_state
+        self.energy_agent = energy_agent
+        self.energy_state = energy_state
+        self.scale_fn = scale_fn
+        self.out_dir = out_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+
+    def _path(self, name):
+        return os.path.join(self.out_dir, name) if self.out_dir else None
+
+    # ------------------------------------------------------------- stages
+    def inference_score(self, batches: List[dict], key) -> np.ndarray:
+        """(num_batches lists of) candidate poses (B, K, 9), camera frame."""
+        path = self._path("pred_pose.npz")
+        if _stage(path):
+            return _load_list(path)
+        out = []
+        for i, batch in enumerate(batches):
+            poses = self.score_agent.sample_candidates(
+                self.score_state,
+                batch,
+                jax.random.fold_in(key, i),
+                repeat_num=self.cfg.eval.eval_repeat_num,
+                T0=self.cfg.eval.T0,
+                method=self.cfg.sampler.mode if self.cfg.sampler.mode != "ode" else "fixed",
+                num_steps=self.cfg.sampler.sampling_steps,
+            )
+            out.append(np.asarray(poses))
+        if path:
+            _save_list(path, out)
+        return out
+
+    def inference_energy(self, batches, all_poses, key):
+        path = self._path("pred_energy.npz")
+        if _stage(path):
+            return _load_list(path)
+        if self.energy_agent is None:
+            return [np.ones((p.shape[0], p.shape[1], 2), np.float32) for p in all_poses]
+        out = []
+        for i, (batch, poses) in enumerate(zip(batches, all_poses)):
+            e = self.energy_agent.get_energy(
+                self.energy_state, batch, jnp.asarray(poses), fixed_t=1e-5
+            )
+            out.append(np.asarray(e))
+        if path:
+            _save_list(path, out)
+        return out
+
+    def aggregate(self, all_poses, all_energy):
+        rot_path = self._path("aggregated_rot.npz")
+        trans_path = self._path("aggregated_trans.npz")
+        if _stage(rot_path) and _stage(trans_path):
+            return _load_list(rot_path), _load_list(trans_path)
+        rots, transs = [], []
+        for poses, energy in zip(all_poses, all_energy):
+            agg = aggregate_candidates(
+                jnp.asarray(poses),
+                jnp.asarray(energy),
+                retain_ratio=self.cfg.eval.retain_ratio,
+                clustering=self.cfg.eval.clustering,
+                eps=self.cfg.eval.clustering_eps,
+                minpts_ratio=self.cfg.eval.clustering_minpts_ratio,
+            )
+            rots.append(np.asarray(agg["rotation"]))
+            transs.append(np.asarray(agg["translation"]))
+        if rot_path:
+            _save_list(rot_path, rots)
+            _save_list(trans_path, transs)
+        return rots, transs
+
+    def inference_scale(self, batches, rots, transs):
+        path = self._path("lengths.npz")
+        if _stage(path):
+            return _load_list(path)
+        out = []
+        for batch, R, t in zip(batches, rots, transs):
+            if self.scale_fn is not None:
+                lengths = self.scale_fn(batch, jnp.asarray(R), jnp.asarray(t))
+            else:
+                lengths = analytic_bbox_lengths(
+                    batch["pts"], jnp.asarray(R), jnp.asarray(t)
+                )
+            out.append(np.clip(np.asarray(lengths), 1e-3, None))
+        if path:
+            _save_list(path, out)
+        return out
+
+    def criterion_and_metrics(self, batches, rots, transs, lengths):
+        ious, degs, shts, cls = [], [], [], []
+        for batch, R, t, L in zip(batches, rots, transs, lengths):
+            iou, deg, sht = batch_criterion(
+                jnp.asarray(R),
+                jnp.asarray(t),
+                jnp.asarray(L),
+                batch["gt_rotation"],
+                batch["gt_translation"],
+                batch["bbox_side_len"],
+                batch["sym_info"],
+            )
+            ious.append(np.asarray(iou))
+            degs.append(np.asarray(deg))
+            shts.append(np.asarray(sht))
+            cls.append(np.asarray(batch["class_label"]))
+        metrics = compute_metrics(
+            np.concatenate(ious),
+            np.concatenate(degs),
+            np.concatenate(shts),
+            class_labels=np.concatenate(cls),
+        )
+        if self.out_dir:
+            with open(self._path("metrics.json"), "w") as f:
+                json.dump(metrics.to_dict(), f, indent=2, default=str)
+        return metrics
+
+    # ---------------------------------------------------------------- run
+    def run(self, batches: Iterable[dict], key=None):
+        """Full pipeline -> PoseMetrics. ``batches`` are process_batch outputs
+        (must include gt_rotation/gt_translation/bbox_side_len/sym_info)."""
+        key = jax.random.PRNGKey(0) if key is None else key
+        batches = list(batches)
+        poses = self.inference_score(batches, key)
+        energy = self.inference_energy(batches, poses, key)
+        rots, transs = self.aggregate(poses, energy)
+        lengths = self.inference_scale(batches, rots, transs)
+        return self.criterion_and_metrics(batches, rots, transs, lengths)
