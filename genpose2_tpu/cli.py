@@ -1,0 +1,275 @@
+"""Command-line entry points: train / eval / track.
+
+Mirrors the reference's shell-script surface (reference: scripts/train_score.sh,
+eval_single.sh, eval_tracking.sh + configs/config.py flags) over the immutable
+dataclass config. Flags are parsed ONCE here and materialize a Config — never
+at import time (the reference parses argparse during module import,
+pointnet2.py:28).
+
+Usage:
+    python -m genpose2_tpu.cli train --agent_type score --data_path ... --source synthetic
+    python -m genpose2_tpu.cli eval  --data_path ... --score_ckpt ...
+    python -m genpose2_tpu.cli track --data_path ... --score_ckpt ... --T0 0.25
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+from genpose2_tpu.config import (
+    Config,
+    DataConfig,
+    EvalConfig,
+    ModelConfig,
+    SamplerConfig,
+    SDEConfig,
+    TrainConfig,
+    default_config,
+)
+
+
+def build_config(args) -> Config:
+    cfg = default_config()
+    model = ModelConfig(
+        pose_mode=args.pose_mode,
+        regression_head=args.regression_head,
+        pts_encoder=args.pts_encoder,
+        dino=args.dino,
+        num_points=args.num_points,
+        img_size=args.img_size,
+        energy_mode=args.energy_mode,
+        s_theta_mode=args.s_theta_mode,
+        norm_energy=args.norm_energy,
+    )
+    train = TrainConfig(
+        agent_type=args.agent_type,
+        batch_size=args.batch_size,
+        n_epochs=args.n_epochs,
+        lr=args.lr,
+        warmup=args.warmup,
+        lr_decay=args.lr_decay,
+        grad_clip=args.grad_clip,
+        ema_rate=args.ema_rate,
+        repeat_num=args.repeat_num,
+        eval_freq=args.eval_freq,
+        seed=args.seed,
+        optimizer=args.optimizer,
+    )
+    ev = EvalConfig(
+        eval_repeat_num=args.eval_repeat_num,
+        retain_ratio=args.retain_ratio,
+        clustering=bool(args.clustering),
+        clustering_eps=args.clustering_eps,
+        clustering_minpts_ratio=args.clustering_minpts,
+        T0=args.T0,
+        batch_size=args.batch_size,
+    )
+    data = DataConfig(
+        data_path=args.data_path,
+        source=args.source,
+        num_points=args.num_points,
+        img_size=args.img_size,
+        per_obj=args.per_obj,
+        percentage_data=args.percentage_data,
+        seed=args.seed,
+        dzi_type="none" if args.eval_mode else "uniform",
+        roi_mask_pro=0.0 if args.eval_mode else 0.5,
+    )
+    sampler = SamplerConfig(
+        mode=args.sampler_mode, sampling_steps=args.sampling_steps
+    )
+    return Config(
+        sde=SDEConfig(mode=args.sde_mode),
+        sampler=sampler,
+        model=model,
+        train=train,
+        eval=ev,
+        data=data,
+        log_dir=args.log_dir,
+    )
+
+
+def add_common_flags(p: argparse.ArgumentParser):
+    p.add_argument("--data_path", type=str, default="")
+    p.add_argument("--source", type=str, default="Omni6DPose",
+                   choices=["Omni6DPose", "xyzibd", "synthetic"])
+    p.add_argument("--batch_size", type=int, default=192)
+    p.add_argument("--pose_mode", type=str, default="rot_matrix")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--img_size", type=int, default=256)
+    p.add_argument("--per_obj", type=str, default="")
+    p.add_argument("--percentage_data", type=float, default=1.0)
+    p.add_argument("--sampler_mode", type=str, default="fixed", choices=["fixed", "rk45", "pc", "euler"])
+    p.add_argument("--sampling_steps", type=int, default=100)
+    p.add_argument("--sde_mode", type=str, default="ve")
+    p.add_argument("--regression_head", type=str, default="Rx_Ry_and_T")
+    p.add_argument("--pts_encoder", type=str, default="pointnet2")
+    p.add_argument("--energy_mode", type=str, default="IP")
+    p.add_argument("--s_theta_mode", type=str, default="score")
+    p.add_argument("--norm_energy", type=str, default="identical")
+    p.add_argument("--dino", type=str, default="none", choices=["none", "global", "pointwise"])
+    p.add_argument("--agent_type", type=str, default="score",
+                   choices=["score", "energy", "energy_with_ranking", "scale"])
+    p.add_argument("--n_epochs", type=int, default=1000)
+    p.add_argument("--log_dir", type=str, default="results")
+    p.add_argument("--optimizer", type=str, default="adam")
+    p.add_argument("--eval_freq", type=int, default=100)
+    p.add_argument("--repeat_num", type=int, default=20)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--ema_rate", type=float, default=0.999)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup", type=int, default=100)
+    p.add_argument("--lr_decay", type=float, default=0.98)
+    p.add_argument("--eval_repeat_num", type=int, default=50)
+    p.add_argument("--T0", type=float, default=0.55)
+    p.add_argument("--clustering", type=int, default=1)
+    p.add_argument("--clustering_eps", type=float, default=0.05)
+    p.add_argument("--clustering_minpts", type=float, default=0.1667)
+    p.add_argument("--retain_ratio", type=float, default=0.4)
+    p.add_argument("--score_ckpt", type=str, default=None)
+    p.add_argument("--energy_ckpt", type=str, default=None)
+    p.add_argument("--scale_ckpt", type=str, default=None)
+    p.add_argument("--steps_per_epoch", type=int, default=1000)
+
+
+def make_loader_fn(cfg: Config, mode: str, agent_type: str = "score"):
+    from genpose2_tpu.data.loader import DataLoader
+
+    if cfg.data.source == "synthetic":
+        from genpose2_tpu.data.synthetic import SyntheticPoseData
+
+        data = SyntheticPoseData(num_points=cfg.data.num_points)
+
+        def loader_fn(epoch, steps_per_epoch=50):
+            for i in range(steps_per_epoch):
+                yield data.batch(
+                    jax.random.PRNGKey(epoch * 1000 + i), cfg.train.batch_size
+                )
+
+        return loader_fn
+    if cfg.data.source == "xyzibd":
+        from genpose2_tpu.data.xyzibd import XyzibdDataset
+
+        ds = XyzibdDataset(cfg.data, cfg.data.data_path, mode=mode)
+    else:
+        from genpose2_tpu.data.omni6dpose import Omni6DPoseDataset
+
+        ds = Omni6DPoseDataset(cfg.data, mode=mode, agent_type=agent_type)
+
+    def loader_fn(epoch):
+        return DataLoader(
+            ds, cfg.train.batch_size, shuffle=(mode == "train"), seed=cfg.train.seed + epoch
+        )
+
+    return loader_fn
+
+
+def cmd_train(args):
+    cfg = build_config(args)
+    from genpose2_tpu.training.trainer import Trainer
+    from genpose2_tpu.data.loader import process_batch
+
+    frozen = None
+    if args.agent_type in ("energy_with_ranking", "scale") and args.score_ckpt:
+        from genpose2_tpu.training.agent import PoseAgent
+        from genpose2_tpu.training.checkpoint import load_params_only
+
+        sa = PoseAgent(cfg, "score", args.steps_per_epoch)
+        loader_fn0 = make_loader_fn(cfg, "train", args.agent_type)
+        first = next(iter(loader_fn0(0)))
+        batch0 = first if "zero_mean_gt_pose" in first else process_batch(first, cfg.model.pose_mode)
+        ss = sa.init_state(jax.random.PRNGKey(0), batch0)
+        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True)
+        frozen = (sa, ss)
+
+    trainer = Trainer(
+        cfg,
+        args.agent_type,
+        args.steps_per_epoch,
+        log_dir=args.log_dir,
+        score_ckpt=args.score_ckpt,
+        frozen_score=frozen,
+    )
+    loader_fn = make_loader_fn(cfg, "train", args.agent_type)
+    first = next(iter(loader_fn(0)))
+    batch0 = first if "zero_mean_gt_pose" in first else process_batch(first, cfg.model.pose_mode)
+    trainer.init(jax.random.PRNGKey(cfg.train.seed), batch0)
+    trainer.fit(loader_fn)
+
+
+def cmd_eval(args):
+    cfg = build_config(args)
+    from genpose2_tpu.data.loader import process_batch
+    from genpose2_tpu.eval.pipeline import SingleFrameEvaluator
+    from genpose2_tpu.training.agent import PoseAgent
+    from genpose2_tpu.training.checkpoint import load_params_only
+
+    loader_fn = make_loader_fn(cfg, "test")
+    batches = [
+        b if "zero_mean_gt_pose" in b else process_batch(b, cfg.model.pose_mode)
+        for b in loader_fn(0)
+    ]
+    sa = PoseAgent(cfg, "score")
+    ss = sa.init_state(jax.random.PRNGKey(0), batches[0])
+    if args.score_ckpt:
+        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True)
+    ea = es = None
+    if args.energy_ckpt:
+        ea = PoseAgent(cfg, "energy")
+        es = ea.init_state(jax.random.PRNGKey(0), batches[0])
+        es = load_params_only(args.energy_ckpt, es, use_ema_as_params=True)
+    ev = SingleFrameEvaluator(cfg, sa, ss, ea, es, out_dir=os.path.join(args.log_dir, "eval"))
+    metrics = ev.run(batches)
+    print("deg_mean:", metrics.deg_mean, "sht_mean:", metrics.sht_mean)
+    print("iou_acc:", metrics.iou_acc)
+    print("pose_acc:", metrics.pose_acc)
+    print("VUS:", metrics.pose_auc)
+
+
+def cmd_track(args):
+    cfg = build_config(args)
+    from genpose2_tpu.data.tracking import open_video_datasets
+    from genpose2_tpu.eval.tracking import PoseTracker
+    from genpose2_tpu.eval.tracking_multiplex import track_videos_multiplexed, tracking_metrics
+    from genpose2_tpu.training.agent import PoseAgent
+    from genpose2_tpu.training.checkpoint import load_params_only
+
+    videos = open_video_datasets(
+        cfg.data, cfg.data.data_path, fail_log=os.path.join(args.log_dir, "tracking_fail.txt")
+    )
+    first = videos[0][0]
+    from genpose2_tpu.data.loader import process_batch
+
+    batch0 = process_batch(first, cfg.model.pose_mode)
+    sa = PoseAgent(cfg, "score")
+    ss = sa.init_state(jax.random.PRNGKey(0), batch0)
+    if args.score_ckpt:
+        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True)
+    tracker = PoseTracker(cfg, sa, ss, T0=args.T0, num_steps=args.sampling_steps)
+    results = track_videos_multiplexed(
+        tracker, videos, jax.random.PRNGKey(0), object_budget=cfg.eval.batch_size
+    )
+    metrics = tracking_metrics(results)
+    print("tracking deg_mean:", metrics.deg_mean, "sht_mean:", metrics.sht_mean)
+    print("pose_acc:", metrics.pose_acc)
+
+
+def main():
+    parser = argparse.ArgumentParser("genpose2_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("train", cmd_train), ("eval", cmd_eval), ("track", cmd_track)):
+        p = sub.add_parser(name)
+        add_common_flags(p)
+        p.set_defaults(fn=fn, eval_mode=(name != "train"))
+    args = parser.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""Training drivers: the runner layer (L7) orchestrating agents over data.
+
+reference: runners/trainer.py:39-517 — train_score (:39-103), train_energy
+with ranking candidates pulled from a frozen score agent (:106-187),
+train_scale on frozen score-encoder features (:190-254), checkpoint wiring
+(:283-345). Differences by design:
+
+- the 20x DSM repeat is vmapped inside one jitted step (agent.train_step);
+- EnergyNet ranking metrics (symmetry-aware rotation/translation errors of
+  the frozen-score candidates) are computed on device
+  (the reference round-trips through cutoop on the host per step,
+  posenet_agent.py:253-288);
+- checkpoints are whole-TrainState orbax saves; the energy agent initializes
+  from a score checkpoint with zero-re-initialized output heads
+  (reference: trainer.py:286-292, energynet.py:129-148).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genpose2_tpu.config import Config
+from genpose2_tpu.data.loader import process_batch
+from genpose2_tpu.eval.metrics import rot_error_deg
+from genpose2_tpu.so3.rotations import get_rot_matrix
+from genpose2_tpu.training.agent import PoseAgent, ScaleAgent, TrainState
+from genpose2_tpu.training.checkpoint import load_params_only, save_checkpoint
+from genpose2_tpu.utils.logging import MetricsLogger
+
+
+def zero_init_energy_heads(state: TrainState) -> TrainState:
+    """Zero the energy net's output layers after loading score weights
+    (reference: energynet.py:129-148 output_zero_initial)."""
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            jnp.zeros_like(x)
+            if any(
+                getattr(p, "key", None) in ("fusion_tail_rot_x", "fusion_tail_rot_y", "fusion_tail_trans")
+                for p in path
+            )
+            and any(getattr(p, "key", "").startswith("Dense_1") for p in path)
+            else x
+        ),
+        state.params,
+    )
+    return state.replace(params=params, ema_params=params)
+
+
+def candidate_metrics_for_ranking(score_agent, score_state, batch, key, num: int):
+    """Sample ``num`` candidates from the frozen score agent and compute GT
+    errors for ranking supervision (reference: trainer.py:150-153,
+    posenet_agent.py:253-288 + utils/metrics.py:15-61).
+
+    Returns (candidate_poses zero-centered (B, K, D), metrics (B, K, 2))."""
+    poses = score_agent.sample_candidates(
+        score_state, batch, key, repeat_num=num, T0=1.0, method="fixed", num_steps=50
+    )  # camera frame
+    B, K, D = poses.shape
+    flat = poses.reshape(B * K, D)
+    R_pred = get_rot_matrix(flat[:, :-3], score_agent.cfg.model.pose_mode)
+    R_gt = jnp.repeat(batch["gt_rotation"], K, axis=0)
+    sym = jnp.repeat(batch["sym_info"], K, axis=0)
+    deg = rot_error_deg(R_pred, R_gt, sym).reshape(B, K)
+    t_gt = jnp.repeat(batch["gt_translation"], K, axis=0)
+    sht = jnp.linalg.norm(flat[:, -3:] - t_gt, axis=-1).reshape(B, K)
+    metrics = jnp.stack([deg, sht], axis=-1)
+    zero_centered = poses.at[..., -3:].add(-batch["pts_center"][:, None, :])
+    return zero_centered, metrics
+
+
+class Trainer:
+    """Epoch loop with logging, periodic eval sampling, and checkpoints."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        agent_type: Optional[str] = None,
+        steps_per_epoch: int = 1000,
+        log_dir: Optional[str] = None,
+        score_ckpt: Optional[str] = None,
+        frozen_score: Optional[tuple] = None,  # (PoseAgent, TrainState)
+    ):
+        self.cfg = cfg
+        self.agent_type = agent_type or cfg.train.agent_type
+        self.log_dir = log_dir or cfg.log_dir
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.logger = MetricsLogger(self.log_dir, self.agent_type)
+
+        base_type = "energy" if self.agent_type.startswith("energy") else self.agent_type
+        if base_type == "scale":
+            self.agent = ScaleAgent(cfg, steps_per_epoch)
+        else:
+            self.agent = PoseAgent(cfg, base_type, steps_per_epoch)
+        self.score_ckpt = score_ckpt
+        self.frozen_score = frozen_score
+        self.state: Optional[TrainState] = None
+
+    # ----------------------------------------------------------------- init
+    def init(self, key, sample_batch):
+        if isinstance(self.agent, ScaleAgent):
+            pts_dim = 1024
+            self.state = self.agent.init_state(key, pts_dim)
+        else:
+            self.state = self.agent.init_state(key, sample_batch)
+            if self.agent_type.startswith("energy") and self.score_ckpt:
+                # energy net warm-started from score weights + zeroed heads
+                self.state = load_params_only(self.score_ckpt, self.state)
+                self.state = zero_init_energy_heads(self.state)
+        return self.state
+
+    # ----------------------------------------------------------- one epoch
+    def train_epoch(self, batches: Iterable[dict], epoch: int, key):
+        t0 = time.time()
+        n = 0
+        last = {}
+        for i, raw in enumerate(batches):
+            batch = (
+                raw
+                if "zero_mean_gt_pose" in raw or isinstance(self.agent, ScaleAgent)
+                else process_batch(raw, self.cfg.model.pose_mode)
+            )
+            k = jax.random.fold_in(key, i)
+            if isinstance(self.agent, ScaleAgent):
+                sa, ss = self.frozen_score
+                pts_feat, _ = sa.extract_features(ss, batch)
+                sbatch = {
+                    "pts_feat": pts_feat,
+                    "axes_training": batch["axes_training"],
+                    "gt_length": batch["bbox_side_len"],
+                }
+                self.state, metrics = self.agent.train_step(self.state, sbatch, k)
+            else:
+                if self.agent_type == "energy_with_ranking":
+                    sa, ss = self.frozen_score
+                    cand, cmet = candidate_metrics_for_ranking(
+                        sa, ss, batch, k, self.cfg.train.ranking_num
+                    )
+                    batch = dict(batch)
+                    batch["candidate_poses"] = cand
+                    batch["candidate_metrics"] = cmet
+                self.state, metrics = self.agent.train_step(self.state, batch, k)
+            n += 1
+            last = metrics
+            if i % 50 == 0:
+                self.logger.log(int(self.state.step), metrics)
+        dt = time.time() - t0
+        self.logger.log(
+            int(self.state.step),
+            {**{f"epoch_{k2}": v for k2, v in last.items()}, "epoch_time_s": dt},
+        )
+        return last
+
+    def save(self, name: Optional[str] = None):
+        return save_checkpoint(os.path.join(self.log_dir, "ckpt"), self.state, name)
+
+    # ------------------------------------------------------------ full run
+    def fit(self, loader_fn, epochs: Optional[int] = None, key=None, eval_fn=None):
+        """loader_fn(epoch) -> iterable of batches. eval_fn(state, epoch) is
+        called every cfg.train.eval_freq epochs (reference: trainer.py:87-103)."""
+        key = jax.random.PRNGKey(self.cfg.train.seed) if key is None else key
+        epochs = epochs or self.cfg.train.n_epochs
+        for epoch in range(1, epochs + 1):
+            metrics = self.train_epoch(loader_fn(epoch), epoch, jax.random.fold_in(key, epoch))
+            if epoch % self.cfg.train.eval_freq == 0 or epoch == epochs:
+                if eval_fn is not None:
+                    eval_metrics = eval_fn(self.state, epoch)
+                    self.logger.log(int(self.state.step), eval_metrics)
+                self.save(f"epoch_{epoch}")
+        self.save("final")
+        return self.state

@@ -1,0 +1,169 @@
+"""Trainer-driver, augmentation, and multiplexed-tracking tests."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genpose2_tpu.config import tiny_test_config
+from genpose2_tpu.data.augmentation import (
+    data_augment,
+    defor_3d_bb,
+    defor_3d_pc,
+    defor_3d_rt,
+)
+from genpose2_tpu.data.synthetic import SyntheticPoseData
+from genpose2_tpu.training.trainer import Trainer, candidate_metrics_for_ranking
+from genpose2_tpu.training import PoseAgent
+
+CFG = tiny_test_config()
+
+
+class TestAugmentation:
+    def _scene(self, B=4, N=64):
+        data = SyntheticPoseData(num_points=N, noise=0.0)
+        b = data.batch(jax.random.PRNGKey(0), B)
+        return b["cam_pts"], b["gt_rotation"], b["gt_translation"], b["bbox_side_len"], b["sym_info"]
+
+    def test_bb_rescale_consistency(self):
+        pc, R, t, s, sym = self._scene()
+        aug = jnp.asarray(np.tile([1.1, 0.9, 1.05], (4, 1)), jnp.float32)
+        pc2, s2, _ = defor_3d_bb(pc, jnp.zeros_like(pc), R, t, s, sym, aug)
+        # object-frame extents scale by the same factors as the sizes
+        obj = jnp.einsum("bji,bnj->bni", R, pc - t[:, None, :])
+        obj2 = jnp.einsum("bji,bnj->bni", R, pc2 - t[:, None, :])
+        ratio = np.asarray(jnp.max(jnp.abs(obj2), 1) / jnp.max(jnp.abs(obj), 1))
+        np.testing.assert_allclose(ratio, np.tile([1.1, 0.9, 1.05], (4, 1)), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s2 / s), np.tile([1.1, 0.9, 1.05], (4, 1)), atol=1e-5)
+
+    def test_rt_jitter_keeps_pose_consistent(self):
+        pc, R, t, s, sym = self._scene()
+        aug_t = jnp.asarray(np.tile([0.01, -0.02, 0.005], (4, 1)), jnp.float32)
+        from genpose2_tpu.so3.rotations import euler_zyx_to_matrix
+
+        aug_R = jnp.tile(euler_zyx_to_matrix(jnp.asarray([0.1, -0.05, 0.2]))[None], (4, 1, 1))
+        pc2, R2, t2 = defor_3d_rt(pc, R, t, aug_t, aug_R)
+        # the object-frame cloud must be unchanged under the NEW gt pose
+        obj_before = jnp.einsum("bji,bnj->bni", R, pc - t[:, None, :])
+        obj_after = jnp.einsum("bji,bnj->bni", R2, pc2 - t2[:, None, :])
+        np.testing.assert_allclose(np.asarray(obj_after), np.asarray(obj_before), atol=1e-5)
+
+    def test_pc_jitter_magnitude(self):
+        pc, R, t, s, sym = self._scene()
+        pc2 = defor_3d_pc(jax.random.PRNGKey(1), pc, t, r=0.1)
+        rel = np.asarray(jnp.linalg.norm(pc2 - pc, axis=-1) / jnp.linalg.norm(pc - t[:, None], axis=-1))
+        assert rel.max() <= 0.1 * np.sqrt(3) + 1e-5
+
+    def test_full_stack_runs(self):
+        pc, R, t, s, sym = self._scene()
+        params = {"aug_pc_pro": 1.0, "aug_pc_r": 0.05, "aug_rt_pro": 1.0,
+                  "aug_bb_pro": 1.0, "aug_bc_pro": 0.0}
+        pc2, R2, t2, s2 = data_augment(
+            jax.random.PRNGKey(2), params, pc, R, t, s, sym
+        )
+        assert np.isfinite(np.asarray(pc2)).all()
+        # gt pose still valid rotations
+        RtR = np.einsum("bij,bik->bjk", np.asarray(R2), np.asarray(R2))
+        np.testing.assert_allclose(RtR, np.tile(np.eye(3), (4, 1, 1)), atol=1e-5)
+
+
+class TestTrainerDriver:
+    def test_score_fit_with_eval_and_ckpt(self, tmp_path):
+        data = SyntheticPoseData(num_points=CFG.model.num_points)
+        cfg = CFG.replace(train=CFG.train.__class__(batch_size=8, repeat_num=2, eval_freq=2, n_epochs=2))
+        trainer = Trainer(cfg, "score", steps_per_epoch=5, log_dir=str(tmp_path))
+        batch0 = data.batch(jax.random.PRNGKey(0), 8)
+        trainer.init(jax.random.PRNGKey(0), batch0)
+
+        evals = []
+
+        def loader_fn(epoch):
+            for i in range(5):
+                yield data.batch(jax.random.PRNGKey(epoch * 100 + i), 8)
+
+        def eval_fn(state, epoch):
+            evals.append(epoch)
+            return {"eval_marker": epoch}
+
+        state = trainer.fit(loader_fn, epochs=2, eval_fn=eval_fn)
+        assert int(state.step) == 10
+        assert evals == [2]
+        assert os.path.exists(tmp_path / "ckpt" / "final")
+        assert os.path.exists(tmp_path / "score_metrics.jsonl")
+
+    def test_energy_with_ranking_epoch(self):
+        data = SyntheticPoseData(num_points=CFG.model.num_points)
+        score_agent = PoseAgent(CFG, "score", 10)
+        b0 = data.batch(jax.random.PRNGKey(0), 4)
+        score_state = score_agent.init_state(jax.random.PRNGKey(0), b0)
+        trainer = Trainer(
+            CFG, "energy_with_ranking", 10, log_dir="/tmp/gp2_test_energy",
+            frozen_score=(score_agent, score_state),
+        )
+        trainer.init(jax.random.PRNGKey(1), b0)
+
+        def batches():
+            for i in range(2):
+                yield data.batch(jax.random.PRNGKey(i), 4)
+
+        metrics = trainer.train_epoch(batches(), 1, jax.random.PRNGKey(2))
+        assert "ranking_loss" in metrics
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_candidate_metrics_shapes(self):
+        data = SyntheticPoseData(num_points=CFG.model.num_points)
+        agent = PoseAgent(CFG, "score", 10)
+        b = data.batch(jax.random.PRNGKey(0), 4)
+        state = agent.init_state(jax.random.PRNGKey(0), b)
+        cand, met = candidate_metrics_for_ranking(agent, state, b, jax.random.PRNGKey(1), 5)
+        assert cand.shape == (4, 5, 9)
+        assert met.shape == (4, 5, 2)
+        assert np.isfinite(np.asarray(met)).all()
+
+
+class TestMultiplexedTracking:
+    def test_two_videos_multiplexed(self, tmp_path):
+        # reuse the on-disk video fixture machinery
+        from tests.test_bop_tracking_data import video_root  # noqa: F401
+        import tests.test_bop_tracking_data as tb
+        from genpose2_tpu.config import DataConfig
+        from genpose2_tpu.data.tracking import open_video_datasets
+        from genpose2_tpu.eval.tracking import PoseTracker
+        from genpose2_tpu.eval.tracking_multiplex import (
+            track_videos_multiplexed,
+            tracking_metrics,
+        )
+
+        # fabricate two videos via the fixture builder
+        import pytest as _pytest
+
+        class FakeFactory:
+            def __init__(self, base):
+                self.base = base
+
+            def mktemp(self, name):
+                p = self.base / name
+                os.makedirs(p, exist_ok=True)
+                return p
+
+        root = tb.video_root.__wrapped__(FakeFactory(tmp_path))
+        cfg = DataConfig(num_points=CFG.model.num_points, img_size=64)
+        videos = open_video_datasets(cfg, root)
+        assert len(videos) == 1
+
+        data = SyntheticPoseData(num_points=CFG.model.num_points)
+        agent = PoseAgent(CFG, "score", 10)
+        b0 = data.batch(jax.random.PRNGKey(0), 2)
+        state = agent.init_state(jax.random.PRNGKey(0), b0)
+        tracker = PoseTracker(CFG, agent, state, T0=0.5, num_steps=10)
+        results = track_videos_multiplexed(
+            tracker, videos, jax.random.PRNGKey(0), object_budget=4
+        )
+        assert len(results) == 1
+        assert len(results[0]) == 3  # 3 frames
+        m = tracking_metrics(results)
+        assert np.isfinite(m.deg_mean)
