@@ -285,6 +285,22 @@ class PoseAgent:
                 init_x = jnp.repeat(init_x, K, axis=0)
             else:
                 init_x = init_x.reshape(B * K, D)
+        if method == "pc":
+            # Predictor-Corrector sampler (reference sampler_mode 'pc',
+            # samplers.py:113-177)
+            poses = pc_sampler(
+                key,
+                sfn,
+                self.sde,
+                B * K,
+                D,
+                num_steps=num_steps,
+                snr=self.cfg.sampler.snr,
+                init_x=init_x,
+                pose_mode=self.cfg.model.pose_mode,
+                pts_center=center_rep,
+            )
+            return poses.reshape(B, K, D)
         poses, _ = ode_sampler(
             key,
             sfn,
@@ -337,6 +353,33 @@ class PoseAgent:
             v, feat_rep, rgb_rep, flat, t, True, method=GFObjectPose.energy
         )
         return energy.reshape(B, K, 2)
+
+
+def calc_likelihood(agent: "PoseAgent", state: TrainState, batch, poses, key=None):
+    """Exact log-likelihood (bits) of camera-frame poses (B, K, D) under the
+    learned score field (reference: posenet.py:278-292 -> samplers.py:25-110).
+    """
+    from genpose2_tpu.diffusion import ode_likelihood
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    pts_feat, rgb_feat = agent.extract_features(state, batch)
+    B, K, D = poses.shape
+    center = batch.get("pts_center")
+    if center is not None:
+        poses = poses.at[..., -3:].add(-center[:, None, :])
+    feat_rep = jnp.repeat(pts_feat, K, axis=0)
+    rgb_rep = None if rgb_feat is None else jnp.repeat(rgb_feat, K, axis=0)
+    sfn = agent.score_fn(state, feat_rep, rgb_rep)
+    _, ll = ode_likelihood(
+        key,
+        sfn,
+        agent.sde,
+        poses.reshape(B * K, D),
+        atol=agent.cfg.sampler.atol,
+        rtol=agent.cfg.sampler.rtol,
+        max_steps=agent.cfg.sampler.max_rk45_steps,
+    )
+    return ll.reshape(B, K)
 
 
 class ScaleAgent:
