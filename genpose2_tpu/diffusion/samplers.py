@@ -205,9 +205,15 @@ def ode_sampler(
     pts_center: Optional[jnp.ndarray] = None,
     method: str = "rk45",
     max_steps: int = 2000,
+    return_trajectory: bool = False,
 ):
     """Sample poses by integrating the reverse probability-flow ODE from T0 to
     sde.eps, entirely on device.
+
+    With ``return_trajectory`` (method='fixed' only), additionally returns the
+    (num_steps, B, D) in-process poses, rotation-normalized and re-centered —
+    the reference's in_process_sample used for denoising videos
+    (reference: samplers.py:235-255).
 
     Init semantics match the reference (samplers.py:195-201): with no
     ``init_x`` start from the prior at T0; a provided ``init_x`` (tracking
@@ -239,9 +245,10 @@ def ode_sampler(
             k2 = rhs(t + h / 2, x + h / 2 * k1)
             k3 = rhs(t + h / 2, x + h / 2 * k2)
             k4 = rhs(t_next, x + h * k3)
-            return x + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4), None
+            x_new = x + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+            return x_new, (x_new if return_trajectory else None)
 
-        x, _ = jax.lax.scan(rk4_step, x0, jnp.arange(n))
+        x, traj = jax.lax.scan(rk4_step, x0, jnp.arange(n))
         nsteps = jnp.asarray(n)
     elif method == "euler":
         n = num_steps if num_steps is not None else 500
@@ -268,7 +275,14 @@ def ode_sampler(
     trans = x[..., -3:]
     if pts_center is not None:
         trans = trans + pts_center
-    return jnp.concatenate([rot, trans], axis=-1), nsteps
+    final = jnp.concatenate([rot, trans], axis=-1)
+    if return_trajectory and method == "fixed":
+        t_rot = normalize_rotation(traj[..., :-3], pose_mode)
+        t_trans = traj[..., -3:]
+        if pts_center is not None:
+            t_trans = t_trans + pts_center[None]
+        return final, jnp.concatenate([t_rot, t_trans], axis=-1)
+    return final, nsteps
 
 
 # ---------------------------------------------------------------------------

@@ -106,6 +106,38 @@ class SetAbstractionMSG(nn.Module):
         return None, jnp.concatenate(scale_outputs, axis=-1), None
 
 
+class FeaturePropagation(nn.Module):
+    """Feature-propagation (upsampling) module for the segmentation-style
+    encoder: 3-NN inverse-distance interpolation of the coarse features to the
+    fine points, concat with skip features, then a SharedMLP.
+
+    reference: pointnet2_modules.py:164-215 (PointnetFPModule). The reference's
+    segmentation encoder that consumes it (Pointnet2MSG) ships with a live
+    debugger breakpoint in forward (reference: pointnet2.py:202) — included
+    here for capability completeness of the FP path."""
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats, train: bool = False):
+        """unknown (B, n, 3), known (B, m, 3) | None, unknown_feats
+        (B, n, C1) | None, known_feats (B, m, C2) -> (B, n, mlp[-1])."""
+        from genpose2_tpu.ops import three_interpolate, three_nn
+
+        if known is not None:
+            dist, idx = three_nn(unknown, known)
+            recip = 1.0 / (dist + 1e-8)
+            weight = recip / jnp.sum(recip, axis=2, keepdims=True)
+            interp = three_interpolate(known_feats, idx, weight)
+        else:
+            interp = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1], known_feats.shape[-1])
+            )
+        if unknown_feats is not None:
+            interp = jnp.concatenate([interp, unknown_feats], axis=-1)
+        return SharedMLP(tuple(self.mlp))(interp, train=train)
+
+
 class PointNet2ClsMSG(nn.Module):
     """Plain MSG classification encoder: SA stack -> (B, 1024) global feature.
 

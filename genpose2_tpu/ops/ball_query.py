@@ -51,15 +51,26 @@ def _ball_query_chunk(xyz, new_xyz, radius: float, nsample: int):
     return idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def ball_query(
     xyz: jnp.ndarray,
     new_xyz: jnp.ndarray,
     radius: float,
     nsample: int,
     chunk: int = 16,
+    use_pallas: bool | None = None,
 ):
-    """xyz (B, N, 3), new_xyz (B, M, 3) -> (B, M, nsample) int32 indices."""
+    """xyz (B, N, 3), new_xyz (B, M, 3) -> (B, M, nsample) int32 indices.
+
+    Dispatches to the VMEM-resident Pallas kernel on TPU
+    (genpose2_tpu/ops/ball_query_pallas.py) and the chunked XLA formulation
+    on CPU (identical semantics, both oracle-tested)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from genpose2_tpu.ops.ball_query_pallas import ball_query_pallas
+
+        return ball_query_pallas(xyz, new_xyz, radius, nsample)
     B = xyz.shape[0]
     xyz = jax.lax.stop_gradient(xyz).astype(jnp.float32)
     new_xyz = jax.lax.stop_gradient(new_xyz).astype(jnp.float32)

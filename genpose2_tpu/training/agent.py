@@ -143,6 +143,97 @@ class PoseAgent:
 
         return fn
 
+    # ------------------------------------------------------- distillation
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def train_step_distilled(self, state: TrainState, teacher_state: TrainState, batch, key):
+        """Score distillation: the DSM target is the TEACHER's score evaluated
+        with the teacher's own features on the same perturbed poses
+        (reference: losses.py:81-86, trainer --distillation path). The teacher
+        is this same agent architecture with frozen ``teacher_state`` (EMA
+        params)."""
+        k_aug, k_drop, k_loss, _ = jax.random.split(key, 4)
+
+        teacher_feat, teacher_rgb = self._teacher_features(teacher_state, batch)
+        t_vars = self._variables(teacher_state, use_ema=True)
+
+        def teacher_score(x, t):
+            return self.model.apply(
+                t_vars, teacher_feat, teacher_rgb, x, t, method=GFObjectPose.score
+            )
+
+        def loss_fn(params):
+            variables = {
+                "params": params,
+                "batch_stats": state.batch_stats,
+                "constants": state.constants,
+            }
+            pts_feat, mut = self.model.apply(
+                variables,
+                batch,
+                True,
+                method=GFObjectPose.extract_pts_feature,
+                mutable=["batch_stats"],
+                rngs={"aug": k_aug, "dropout": k_drop},
+            )
+            rgb_feat = (
+                self.model.apply(variables, batch, method=GFObjectPose.extract_global_rgb_feature)
+                if self.cfg.model.dino == "global"
+                else None
+            )
+            run_vars = {
+                "params": params,
+                "batch_stats": mut["batch_stats"],
+                "constants": state.constants,
+            }
+
+            def sfn(x, t):
+                return self.model.apply(
+                    run_vars, pts_feat, rgb_feat, x, t, method=GFObjectPose.score
+                )
+
+            loss = dsm_loss(
+                k_loss,
+                sfn,
+                batch["zero_mean_gt_pose"],
+                self.sde,
+                self.cfg.train.repeat_num,
+                teacher_score_fn=teacher_score,
+            )
+            return loss, (mut, {"loss": loss, "distill_loss": loss})
+
+        (loss, (mut, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        finite = jnp.isfinite(loss)
+        new_params = _tree_where(finite, new_params, state.params)
+        new_opt_state = _tree_where(finite, new_opt_state, state.opt_state)
+        ema_params, ema_updates = ema_update(
+            state.ema_params, new_params, state.ema_updates, self.cfg.train.ema_rate
+        )
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=_tree_where(finite, mut["batch_stats"], state.batch_stats),
+                opt_state=new_opt_state,
+                ema_params=_tree_where(finite, ema_params, state.ema_params),
+                ema_updates=jnp.where(finite, ema_updates, state.ema_updates),
+            ),
+            metrics,
+        )
+
+    def _teacher_features(self, teacher_state: TrainState, batch):
+        v = self._variables(teacher_state, use_ema=True)
+        pts_feat = self.model.apply(v, batch, False, method=GFObjectPose.extract_pts_feature)
+        rgb_feat = (
+            self.model.apply(v, batch, method=GFObjectPose.extract_global_rgb_feature)
+            if self.cfg.model.dino == "global"
+            else None
+        )
+        return pts_feat, rgb_feat
+
     # ------------------------------------------------------------ train step
     @functools.partial(jax.jit, static_argnums=(0,))
     def train_step(self, state: TrainState, batch, key):

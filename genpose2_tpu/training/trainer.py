@@ -144,7 +144,19 @@ class Trainer:
                     batch = dict(batch)
                     batch["candidate_poses"] = cand
                     batch["candidate_metrics"] = cmet
-                self.state, metrics = self.agent.train_step(self.state, batch, k)
+                if (
+                    self.cfg.train.distillation
+                    and self.agent_type == "score"
+                    and self.frozen_score is not None
+                ):
+                    # teacher-score distillation (reference: losses.py:81-86,
+                    # --distillation flag): target = frozen teacher's score
+                    _, teacher_state = self.frozen_score
+                    self.state, metrics = self.agent.train_step_distilled(
+                        self.state, teacher_state, batch, k
+                    )
+                else:
+                    self.state, metrics = self.agent.train_step(self.state, batch, k)
             n += 1
             last = metrics
             if i % 50 == 0:

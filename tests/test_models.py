@@ -244,3 +244,33 @@ class TestGFObjectPose:
         out = model.apply(vars_, data)
         assert out.shape == (B, 9)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestHeadsAndFP:
+    def test_per_point_heads(self):
+        from genpose2_tpu.models.heads import RotHead, TransHead
+
+        feat = jnp.ones((2, 64, 32))
+        for Head in (RotHead, TransHead):
+            m = Head(3)
+            v = m.init(jax.random.PRNGKey(0), feat)
+            assert m.apply(v, feat).shape == (2, 3)
+
+    def test_feature_propagation(self):
+        from genpose2_tpu.models.pointnet2 import FeaturePropagation
+
+        rng_np = np.random.default_rng(0)
+        unknown = jnp.asarray(rng_np.normal(size=(2, 32, 3)), jnp.float32)
+        known = jnp.asarray(rng_np.normal(size=(2, 8, 3)), jnp.float32)
+        ufeat = jnp.asarray(rng_np.normal(size=(2, 32, 5)), jnp.float32)
+        kfeat = jnp.asarray(rng_np.normal(size=(2, 8, 7)), jnp.float32)
+        fp = FeaturePropagation((16, 16))
+        v = fp.init(jax.random.PRNGKey(0), unknown, known, ufeat, kfeat)
+        out = fp.apply(v, unknown, known, ufeat, kfeat)
+        assert out.shape == (2, 32, 16)
+        # known=None broadcast path
+        out2 = fp.apply(
+            fp.init(jax.random.PRNGKey(0), unknown, None, ufeat, kfeat[:, :1]),
+            unknown, None, ufeat, kfeat[:, :1],
+        )
+        assert out2.shape == (2, 32, 16)

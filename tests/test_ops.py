@@ -172,3 +172,31 @@ class TestInterpolate:
         expected0 = 0.5 * feats[0, 0] + 0.3 * feats[0, 2] + 0.2 * feats[0, 4]
         np.testing.assert_allclose(out[0, 0], expected0, atol=1e-6)
         np.testing.assert_allclose(out[0, 1], feats[0, 1], atol=1e-6)
+
+
+class TestBallQueryPallas:
+    def test_matches_xla_and_cuda_semantics(self, rng):
+        from genpose2_tpu.ops.ball_query_pallas import ball_query_pallas
+
+        xyz = rng.uniform(-0.5, 0.5, size=(3, 96, 3)).astype(np.float32)
+        new_xyz = xyz[:, :40]
+        for radius, nsample in [(0.1, 8), (0.3, 16)]:
+            expected = ball_query_numpy(xyz, new_xyz, radius, nsample)
+            got = np.asarray(
+                ball_query_pallas(jnp.asarray(xyz), jnp.asarray(new_xyz), radius, nsample, 16)
+            )
+            np.testing.assert_array_equal(got, expected, err_msg=f"r={radius}")
+
+    def test_padding_and_empty(self, rng):
+        from genpose2_tpu.ops.ball_query_pallas import ball_query_pallas
+
+        # non-multiple M and N, plus a centroid with zero hits
+        xyz = rng.uniform(-0.5, 0.5, size=(2, 70, 3)).astype(np.float32)
+        new_xyz = np.concatenate(
+            [xyz[:, :17], np.full((2, 1, 3), 10.0, np.float32)], axis=1
+        )
+        expected = ball_query_numpy(xyz, new_xyz, 0.2, 8)
+        got = np.asarray(
+            ball_query_pallas(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.2, 8, 8)
+        )
+        np.testing.assert_array_equal(got, expected)

@@ -167,3 +167,50 @@ class TestMultiplexedTracking:
         assert len(results[0]) == 3  # 3 frames
         m = tracking_metrics(results)
         assert np.isfinite(m.deg_mean)
+
+
+class TestDistillation:
+    def test_distilled_step_and_trainer_path(self):
+        data = SyntheticPoseData(num_points=CFG.model.num_points)
+        teacher = PoseAgent(CFG, "score", 10)
+        b0 = data.batch(jax.random.PRNGKey(0), 4)
+        t_state = teacher.init_state(jax.random.PRNGKey(0), b0)
+        # brief teacher training so its score is nonzero
+        for i in range(50):
+            t_state, _ = teacher.train_step(t_state, b0, jax.random.PRNGKey(i))
+
+        cfg = CFG.replace(train=CFG.train.__class__(batch_size=4, repeat_num=2, distillation=True))
+        trainer = Trainer(cfg, "score", 10, log_dir="/tmp/gp2_test_distill",
+                          frozen_score=(teacher, t_state))
+        trainer.init(jax.random.PRNGKey(1), b0)
+        metrics = trainer.train_epoch([b0, b0], 1, jax.random.PRNGKey(2))
+        assert "distill_loss" in metrics
+        assert np.isfinite(float(metrics["loss"]))
+        # student trained toward the teacher's (nonzero) score field: a second
+        # epoch must keep the loss finite and the params updated
+        p0 = jax.tree.leaves(trainer.state.params)[0]
+        trainer.train_epoch([b0], 2, jax.random.PRNGKey(3))
+        p1 = jax.tree.leaves(trainer.state.params)[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+class TestTrajectory:
+    def test_fixed_sampler_returns_trajectory(self):
+        from genpose2_tpu.diffusion import init_sde, ode_sampler
+
+        sde = init_sde("ve")
+        mu = jnp.zeros((6,))
+
+        def score_fn(x, t):
+            _, std = sde.marginal_prob(None, t)
+            return -(x - mu) / (std ** 2)
+
+        final, traj = ode_sampler(
+            jax.random.PRNGKey(0), score_fn, sde, 4, 6, pose_mode="euler_xyz",
+            method="fixed", num_steps=30, return_trajectory=True,
+        )
+        assert traj.shape == (30, 4, 6)
+        # trajectory converges toward the final pose
+        d_first = np.abs(np.asarray(traj[0, :, -3:])).mean()
+        d_last = np.abs(np.asarray(traj[-1, :, -3:])).mean()
+        assert d_last < d_first
