@@ -85,6 +85,9 @@ class PointNet2Config:
         ((512, 512), (512, 512)),
     )
     use_xyz: bool = True
+    # 'bfloat16' runs the SA-stack matmuls in bf16 (f32 params/BN); 'float32'
+    # keeps everything f32
+    compute_dtype: str = "float32"
     dropout: float = 0.1  # Fus variant (reference: pointnet2.py:274)
     num_heads: int = 8
     input_jitter: float = 1e-3  # train-time cloud jitter (reference: pointnet2.py:332-333)

@@ -8,7 +8,7 @@ MXU directly.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -52,19 +52,22 @@ class SharedMLP(nn.Module):
 
     BatchNorm statistics are taken over all non-feature axes, matching
     nn.BatchNorm2d over (B, C, npoint, nsample) in the reference
-    (reference: pytorch_utils.py:14-33 with bn=True)."""
+    (reference: pytorch_utils.py:14-33 with bn=True). ``dtype`` selects the
+    matmul compute dtype (params stay f32; BN runs in f32)."""
 
     features: Sequence[int]
     use_bn: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for f in self.features:
-            x = nn.Dense(f, use_bias=not self.use_bn)(x)
+            x = nn.Dense(f, use_bias=not self.use_bn, dtype=self.dtype)(x)
             if self.use_bn:
                 x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5
-                )(x)
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=jnp.float32,
+                )(x.astype(jnp.float32))
             x = nn.relu(x)
         return x
 

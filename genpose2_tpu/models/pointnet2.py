@@ -34,6 +34,14 @@ from genpose2_tpu.models.attention import (
 )
 from genpose2_tpu.models.layers import SharedMLP, linear_resize_points
 from genpose2_tpu.ops import ball_query, furthest_point_sample, gather_points, group_points
+from genpose2_tpu.ops.grouping import group_points_matmul
+
+
+def _group(features, idx):
+    """TPU: one-hot MXU gather; CPU: exact take_along_axis."""
+    if jax.default_backend() == "cpu":
+        return group_points(features, idx)
+    return group_points_matmul(features, idx)
 
 
 class SetAbstractionMSG(nn.Module):
@@ -54,6 +62,7 @@ class SetAbstractionMSG(nn.Module):
     nsamples: Sequence[Optional[int]]
     mlps: Sequence[Sequence[int]]  # hidden widths per scale (input dim excluded)
     use_xyz: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False):
@@ -80,7 +89,7 @@ class SetAbstractionMSG(nn.Module):
                 )
                 proj = inp @ kernel  # (B, N, h1)
                 g_idx = ball_query(xyz, new_xyz, radius, ns)  # (B, npoint, ns)
-                grouped = group_points(proj, g_idx)  # (B, npoint, ns, h1)
+                grouped = _group(proj, g_idx)  # (B, npoint, ns, h1)
                 if self.use_xyz:
                     center_proj = new_xyz @ kernel[:3]  # (B, npoint, h1)
                     grouped = grouped - center_proj[:, :, None, :]
@@ -88,9 +97,10 @@ class SetAbstractionMSG(nn.Module):
                     raise ValueError("cannot have neither features nor xyz")
                 pre = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5
-                )(grouped)
+                )(grouped.astype(jnp.float32))
                 pre = nn.relu(pre)
-                out = SharedMLP(tuple(widths[1:]))(pre, train=train)
+                dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+                out = SharedMLP(tuple(widths[1:]), dtype=dt)(pre, train=train)
                 scale_outputs.append(jnp.max(out, axis=2))  # (B, npoint, C_out)
             return new_xyz, jnp.concatenate(scale_outputs, axis=-1), idx
 
@@ -157,6 +167,7 @@ class PointNet2ClsMSG(nn.Module):
                 nsamples=self.cfg.nsamples[k],
                 mlps=self.cfg.mlps[k],
                 use_xyz=self.cfg.use_xyz,
+                compute_dtype=self.cfg.compute_dtype,
             )(xyz, features, train=train)
             xyz = new_xyz
         return features.squeeze(1)  # (B, C_final)
@@ -209,6 +220,7 @@ class PointNet2ClsMSGFus(nn.Module):
                 nsamples=self.cfg.nsamples[k],
                 mlps=self.cfg.mlps[k],
                 use_xyz=self.cfg.use_xyz,
+                compute_dtype=self.cfg.compute_dtype,
             )(xyz, features, train=train)
 
             if new_xyz is not None:

@@ -200,3 +200,23 @@ class TestBallQueryPallas:
             ball_query_pallas(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.2, 8, 8)
         )
         np.testing.assert_array_equal(got, expected)
+
+
+class TestGroupMatmul:
+    def test_matches_gather_exactly(self, rng):
+        from genpose2_tpu.ops.grouping import group_points_matmul
+
+        feats = jnp.asarray(rng.normal(size=(2, 64, 16)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 64, size=(2, 10, 4)).astype(np.int32))
+        a = np.asarray(group_points(feats, idx))
+        b = np.asarray(group_points_matmul(feats, idx))
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_gradient_matches(self, rng):
+        from genpose2_tpu.ops.grouping import group_points_matmul
+
+        feats = jnp.asarray(rng.normal(size=(1, 16, 4)).astype(np.float32))
+        idx = jnp.asarray(np.array([[[0, 0, 5]]], np.int32))
+        g1 = jax.grad(lambda x: jnp.sum(group_points(x, idx) ** 2))(feats)
+        g2 = jax.grad(lambda x: jnp.sum(group_points_matmul(x, idx) ** 2))(feats)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
