@@ -36,7 +36,11 @@ def main():
     # dino='none' path this round: full PointNet++ encoder + ODE + aggregation
     # (the pointwise-DINO ViT path is benchmarked separately once the image
     # provider is wired into the eval pipeline)
-    cfg = default_config().replace(model=ModelConfig(dino="none"))
+    from genpose2_tpu.config import PointNet2Config
+
+    cfg = default_config().replace(
+        model=ModelConfig(dino="none", pointnet2=PointNet2Config(compute_dtype="bfloat16"))
+    )
     B = 128
     K = cfg.eval.eval_repeat_num  # 50
     N = cfg.model.num_points  # 1024
