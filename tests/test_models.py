@@ -274,3 +274,31 @@ class TestHeadsAndFP:
             unknown, None, ufeat, kfeat[:, :1],
         )
         assert out2.shape == (2, 32, 16)
+
+
+class TestGlobalDinoComposition:
+    def test_global_mode_end_to_end(self):
+        # dino='global': plain ClsMSG encoder + CLS feature + view-dir encoding
+        cfg = ModelConfig(
+            num_points=64,
+            pointnet2=TINY.model.pointnet2,
+            dino="global",
+            dino_dim=32,
+            global_embedding_dim=12,
+            img_size=64,
+        )
+        model = GFObjectPose(cfg, std_fn, "score")
+        B, N = 2, 64
+        rng_np = np.random.default_rng(0)
+        data = {
+            "pts": jnp.asarray(rng_np.normal(size=(B, N, 3)), jnp.float32),
+            "dino_global": jnp.asarray(rng_np.normal(size=(B, 32)), jnp.float32),
+            "roi_center_dir": jnp.asarray(rng_np.normal(size=(B, 3)), jnp.float32),
+            "sampled_pose": jnp.zeros((B, 9)),
+            "t": jnp.full((B, 1), 0.5),
+        }
+        vars_ = model.init(jax.random.PRNGKey(0), data)
+        out = model.apply(vars_, data)
+        assert out.shape == (B, 9)
+        rgb = model.apply(vars_, data, method=GFObjectPose.extract_global_rgb_feature)
+        assert rgb.shape == (B, 32 + 2 * 3 * (12 // 6))

@@ -214,3 +214,20 @@ class TestTrajectory:
         d_first = np.abs(np.asarray(traj[0, :, -3:])).mean()
         d_last = np.abs(np.asarray(traj[-1, :, -3:])).mean()
         assert d_last < d_first
+
+
+class TestEvalHook:
+    def test_sampling_eval_fn(self, tmp_path):
+        from genpose2_tpu.training.eval_hooks import make_sampling_eval_fn
+
+        data = SyntheticPoseData(num_points=CFG.model.num_points)
+        agent = PoseAgent(CFG, "score", 10)
+        b0 = data.batch(jax.random.PRNGKey(0), 4)
+        state = agent.init_state(jax.random.PRNGKey(0), b0)
+        eval_fn = make_sampling_eval_fn(
+            agent, CFG, lambda epoch: data.batch(jax.random.PRNGKey(epoch), 4),
+            log_dir=str(tmp_path), repeat_num=4, num_steps=10,
+        )
+        scalars = eval_fn(state, 1)
+        assert "eval_deg_mean" in scalars and np.isfinite(scalars["eval_deg_mean"])
+        assert os.path.exists(tmp_path / "eval_img" / "epoch_1.png")
