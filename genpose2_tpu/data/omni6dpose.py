@@ -157,15 +157,33 @@ def extract_object_sample(
     roi_mask_def = (
         defor_2D(rng, roi_mask, cfg.roi_mask_r, cfg.roi_mask_pro) if train else roi_mask
     )
-    valid2d = (roi_depth > 0) * (roi_mask_def > 0)
-    if valid2d.sum() <= 1:
-        return None
-    pix_rows, pix_cols = np.nonzero(valid2d)
-    valid = valid2d.reshape(-1) > 0
-    pcl = depth_to_pcl(roi_depth, K, roi_coord_2d, valid)
-    if len(pcl) < 50:
-        return None
-    ids, pcl = sample_points(rng, pcl, cfg.num_points)
+    # fused native backproject+sample when the C++ core is available
+    # (native/gp2_host.cc); numpy fallback keeps identical geometry
+    from genpose2_tpu.data import native as _native
+
+    if _native.available():
+        n_valid, pcl, rows, cols = _native.extract_cloud(
+            roi_depth,
+            (roi_mask_def > 0).astype(np.uint8),
+            roi_coord_2d[0],
+            roi_coord_2d[1],
+            float(K[0, 0]), float(K[1, 1]), float(K[0, 2]), float(K[1, 2]),
+            cfg.num_points,
+            seed=int(rng.integers(1 << 62)),
+        )
+        if n_valid <= 1 or n_valid < 50:
+            return None
+        pix_rows, pix_cols, ids = rows, cols, np.arange(cfg.num_points)
+    else:
+        valid2d = (roi_depth > 0) * (roi_mask_def > 0)
+        if valid2d.sum() <= 1:
+            return None
+        pix_rows, pix_cols = np.nonzero(valid2d)
+        valid = valid2d.reshape(-1) > 0
+        pcl = depth_to_pcl(roi_depth, K, roi_coord_2d, valid)
+        if len(pcl) < 50:
+            return None
+        ids, pcl = sample_points(rng, pcl, cfg.num_points)
 
     q = np.asarray(obj["quaternion_wxyz"], np.float32)
     w, x, y, z = q / np.linalg.norm(q)

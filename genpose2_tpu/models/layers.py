@@ -64,10 +64,12 @@ class SharedMLP(nn.Module):
         for f in self.features:
             x = nn.Dense(f, use_bias=not self.use_bn, dtype=self.dtype)(x)
             if self.use_bn:
+                # BN follows the compute dtype (stats/params stay f32 via
+                # param_dtype); avoids bf16<->f32 bounces between every layer
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    dtype=jnp.float32,
-                )(x.astype(jnp.float32))
+                    dtype=self.dtype,
+                )(x)
             x = nn.relu(x)
         return x
 

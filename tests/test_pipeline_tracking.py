@@ -131,3 +131,35 @@ class TestInferenceAPI:
             frame, prev_pose=out["prev_pose"], tracking=True, key=jax.random.PRNGKey(1)
         )
         assert out2 is not None and np.isfinite(out2["pose"]).all()
+
+
+class TestPipelineWithEnergyAndScale:
+    def test_full_three_agent_pipeline(self, trained_score, tmp_path):
+        from genpose2_tpu.training.agent import ScaleAgent
+
+        agent, state, data = trained_score
+        energy_agent = PoseAgent(CFG, "energy", 10)
+        batch = data.batch(jax.random.PRNGKey(0), 4, fixed_pose=True)
+        energy_state = energy_agent.init_state(jax.random.PRNGKey(5), batch)
+
+        scale_agent = ScaleAgent(CFG, 10)
+        pts_dim = sum(m[-1] for m in CFG.model.pointnet2.mlps[-1])
+        scale_state = scale_agent.init_state(jax.random.PRNGKey(6), pts_dim=pts_dim)
+
+        def scale_fn(b, R, t):
+            pts_feat, _ = agent.extract_features(state, b)
+            return scale_agent.predict(scale_state, pts_feat, R)
+
+        ev = SingleFrameEvaluator(
+            CFG, agent, state, energy_agent, energy_state, scale_fn=scale_fn,
+            out_dir=str(tmp_path),
+        )
+        batches = [data.batch(jax.random.PRNGKey(999), 4, fixed_pose=True)]
+        metrics = ev.run(batches)
+        assert np.isfinite(metrics.deg_mean)
+        # zero-init heads: energy net emits uniform energies, scale net zeros
+        # (clamped to 1e-3) — pipeline still completes with valid outputs
+        assert os.path.exists(tmp_path / "pred_energy.npz")
+        assert os.path.exists(tmp_path / "lengths.npz")
+        lengths = np.load(tmp_path / "lengths.npz")["b0"]
+        assert (lengths >= 1e-3).all()
