@@ -97,9 +97,8 @@ class SetAbstractionMSG(nn.Module):
                     raise ValueError("cannot have neither features nor xyz")
                 dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
                 pre = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    dtype=dt,
-                )(grouped)
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5
+                )(grouped.astype(jnp.float32))
                 pre = nn.relu(pre)
                 out = SharedMLP(tuple(widths[1:]), dtype=dt)(pre, train=train)
                 scale_outputs.append(jnp.max(out, axis=2))  # (B, npoint, C_out)
