@@ -91,10 +91,13 @@ class SyntheticPoseData:
         keys = jax.random.split(kshape, B)
         if self.shape == "box":
             clouds = jax.vmap(lambda k, s: _box_cloud(k, N, s))(keys, size)
-            sym = jnp.tile(sym_label()[None], (B, 1))
+            # a rectangular box is invariant under 180-deg flips about each
+            # axis (the 4-element dihedral group): half/half/half
+            sym = jnp.tile(sym_label(x="half", y="half", z="half")[None], (B, 1))
         elif self.shape == "cylinder":
             clouds = jax.vmap(lambda k, s: _cylinder_cloud(k, N, s))(keys, size)
-            sym = jnp.tile(sym_label(y="any")[None], (B, 1))
+            # continuous about y, plus the end-over-end flip
+            sym = jnp.tile(sym_label(x="half", y="any")[None], (B, 1))
         else:
             raise NotImplementedError(self.shape)
 
