@@ -148,6 +148,49 @@ class FeaturePropagation(nn.Module):
         return SharedMLP(tuple(self.mlp))(interp, train=train)
 
 
+class PointNet2SegMSG(nn.Module):
+    """Segmentation-style encoder: SA downsampling stack + FP upsampling stack
+    + per-point classification head.
+
+    reference: pointnet2.py:133-208 (Pointnet2MSG with MSG_CFG + FP_MLPS +
+    CLS_FC; its forward ships with a live ipdb breakpoint there). Returns
+    per-point logits (B, N, 1)."""
+
+    cfg: PointNet2Config
+    fp_mlps: Tuple[Tuple[int, ...], ...] = ((64, 64), (128, 128), (256, 256), (512, 512))
+    cls_fc: Tuple[int, ...] = (128,)
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, pointcloud, train: bool = False):
+        xyz = pointcloud[..., :3]
+        features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+        n_sa = len(self.fp_mlps)
+        l_xyz = [xyz]
+        l_feats = [features]
+        for k in range(n_sa):
+            new_xyz, new_feats, _ = SetAbstractionMSG(
+                npoint=self.cfg.npoints[k],
+                radii=self.cfg.radii[k],
+                nsamples=self.cfg.nsamples[k],
+                mlps=self.cfg.mlps[k],
+                use_xyz=self.cfg.use_xyz,
+                compute_dtype=self.cfg.compute_dtype,
+            )(l_xyz[k], l_feats[k], train=train)
+            l_xyz.append(new_xyz)
+            l_feats.append(new_feats)
+        # FP stack, coarsest -> finest (reference: pointnet2.py:203-206)
+        for i in range(n_sa, 0, -1):
+            l_feats[i - 1] = FeaturePropagation(self.fp_mlps[i - 1])(
+                l_xyz[i - 1], l_xyz[i], l_feats[i - 1], l_feats[i], train=train
+            )
+        h = l_feats[0]
+        for f in self.cls_fc:
+            h = SharedMLP((f,))(h, train=train)
+            h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        return nn.Dense(1)(h)  # (B, N, 1) per-point logits
+
+
 class PointNet2ClsMSG(nn.Module):
     """Plain MSG classification encoder: SA stack -> (B, 1024) global feature.
 

@@ -302,3 +302,16 @@ class TestGlobalDinoComposition:
         assert out.shape == (B, 9)
         rgb = model.apply(vars_, data, method=GFObjectPose.extract_global_rgb_feature)
         assert rgb.shape == (B, 32 + 2 * 3 * (12 // 6))
+
+
+class TestSegEncoder:
+    def test_per_point_logits(self):
+        from genpose2_tpu.models.pointnet2 import PointNet2SegMSG
+
+        cfg = TINY.model.pointnet2  # 3 stages; use 2 SA + 2 FP levels
+        model = PointNet2SegMSG(cfg, fp_mlps=((16, 16), (32, 32)), cls_fc=(16,))
+        pts = jnp.asarray(np.random.default_rng(0).normal(size=(2, 128, 3)), jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), pts)
+        out = model.apply(vars_, pts)
+        assert out.shape == (2, 128, 1)
+        assert np.isfinite(np.asarray(out)).all()
