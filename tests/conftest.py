@@ -11,6 +11,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the env var alone is not enough when a TPU plugin registers itself at
+# interpreter startup (sitecustomize): the explicit config update wins
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402
