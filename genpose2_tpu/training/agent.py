@@ -35,6 +35,7 @@ from genpose2_tpu.diffusion import init_sde, ode_sampler, pc_sampler
 from genpose2_tpu.diffusion.losses import dsm_loss
 from genpose2_tpu.models.posenet import GFObjectPose
 from genpose2_tpu.models.scalenet import ScaleNet, scale_loss
+from genpose2_tpu.models.scorenet import make_fast_score_fn
 from genpose2_tpu.training.ema import ema_init, ema_update
 from genpose2_tpu.training.ranking import ranking_loss, sort_results
 
@@ -126,11 +127,17 @@ class PoseAgent:
         """Pure (x, t) -> score closure for the samplers."""
         v = self._variables(state, use_ema)
         if self.agent_type == "score":
-
-            def fn(x, t):
-                return self.model.apply(v, pts_feat, rgb_feat, x, t, method=GFObjectPose.score)
-
-            return fn
+            # fast path: loop-invariant first-layer rows precomputed, heads
+            # fused (parity-tested vs the module in tests/test_models.py)
+            return make_fast_score_fn(
+                v["params"]["pose_net"],
+                v["constants"]["pose_net"],
+                self.model.marginal_std_fn,
+                pts_feat,
+                rgb_feat,
+                pose_dim=self.cfg.model.pose_dim,
+                regression_head=self.cfg.model.regression_head,
+            )
 
         def fn(x, t):
             def e(p):

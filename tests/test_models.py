@@ -128,6 +128,38 @@ class TestScoreNet:
         vars_ = model.init(jax.random.PRNGKey(0), *args)
         assert model.apply(vars_, *args).shape == (B, 9)
 
+    @pytest.mark.parametrize("head", ["RT", "R_and_T", "Rx_Ry_and_T"])
+    @pytest.mark.parametrize("dino", [0, 444])
+    def test_fast_score_fn_parity(self, head, dino):
+        """The sampler fast path (loop-invariant rows hoisted, heads fused)
+        must equal the module forward on the same params."""
+        from genpose2_tpu.models.scorenet import make_fast_score_fn
+
+        model = PoseScoreNet(std_fn, pose_dim=9, regression_head=head, dino_dim=dino)
+        B = 5
+        rng = np.random.default_rng(3)
+        pts_feat = jnp.asarray(rng.normal(size=(B, 1024)), jnp.float32)
+        rgb_feat = jnp.asarray(rng.normal(size=(B, dino)), jnp.float32) if dino else None
+        pose = jnp.asarray(rng.normal(size=(B, 9)), jnp.float32)
+        t = jnp.asarray(rng.uniform(0.01, 1.0, size=(B, 1)), jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), pts_feat, rgb_feat, pose, t)
+        # randomize the zero-initialized output layers so parity is non-trivial
+        vars_ = jax.tree_util.tree_map(
+            lambda p: p + jnp.asarray(rng.normal(size=p.shape, scale=0.05), p.dtype),
+            vars_,
+        )
+        ref = model.apply(vars_, pts_feat, rgb_feat, pose, t)
+        fast = make_fast_score_fn(
+            vars_["params"],
+            vars_["constants"],
+            std_fn,
+            pts_feat,
+            rgb_feat,
+            pose_dim=9,
+            regression_head=head,
+        )(pose, t)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
 
 class TestEnergyNet:
     def _mk(self, **kw):
