@@ -1,0 +1,146 @@
+"""Fused set-abstraction scale kernel: group -> center -> BN-affine -> MLP
+chain -> max-pool, VMEM-resident.
+
+The XLA eval path materializes, per SA scale, the grouped activations
+(B, M, S, h) in HBM between every op: the one-hot grouping product, the f32
+BatchNorm round trip, each SharedMLP matmul, and the final max-pool each
+re-read/re-write hundreds of MB. This kernel keeps the whole per-(batch-row,
+centroid-tile) computation in VMEM: HBM traffic drops to one read of the
+projected points (B, N, h1) and one write of the pooled output (B, M, C_out).
+
+Grouping uses the one-hot MXU product (see ops/grouping.py): for each slot s,
+onehot(TM, N) = (idx[:, s] == lane) and g = onehot @ proj — exact 0/1
+selection, deterministic.
+
+Eval-only: BatchNorm running statistics are folded into per-layer affines
+(a = gamma/sqrt(var+eps), c = beta - mean*a) by the caller
+(genpose2_tpu/models/fast_encoder.py). The training path keeps the autodiff'd
+XLA formulation in models/pointnet2.py.
+
+reference semantics: pointnet2_modules.py:39-74 (ball query -> group+center ->
+SharedMLP -> max-pool), exactly reproduced given the same indices (parity
+test: tests/test_ops.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(idx_ref, proj_ref, center_ref, *wa_refs, out_ref, nsample, num_layers):
+    """One (batch row, centroid tile) program.
+
+    idx_ref (1, TM, S) int32, proj_ref (1, N, h1), center_ref (1, TM, h1),
+    wa_refs = [a0, c0, W1, a1, c1, ..., W_{L}, a_L, c_L] (affines (1, h),
+    weights (h_in, h_out)), out_ref (1, TM, C_out).
+    """
+    proj = proj_ref[0]  # (N, h1)
+    idx = idx_ref[0]  # (TM, S)
+    center = center_ref[0].astype(jnp.float32)  # (TM, h1)
+    TM, S = idx.shape
+    N = proj.shape[0]
+
+    a0 = wa_refs[0][:]  # (1, h1)
+    c0 = wa_refs[1][:]
+    layers = []
+    for li in range(num_layers):
+        W = wa_refs[2 + 3 * li][:]
+        a = wa_refs[3 + 3 * li][:]
+        c = wa_refs[4 + 3 * li][:]
+        layers.append((W, a, c))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, N), dimension=1)
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)  # (TM, C_out); relu => >= 0
+
+    for s in range(nsample):
+        onehot = (idx[:, s : s + 1] == lane).astype(proj.dtype)  # (TM, N)
+        g = jnp.dot(onehot, proj, preferred_element_type=jnp.float32)
+        h = jnp.maximum((g - center) * a0 + c0, 0.0)
+        for W, a, c in layers:
+            z = jnp.dot(h.astype(W.dtype), W, preferred_element_type=jnp.float32)
+            h = jnp.maximum(z * a + c, 0.0)
+        acc = jnp.maximum(acc, h)
+
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "out_dtype"))
+def fused_group_mlp_pool(
+    proj: jnp.ndarray,
+    idx: jnp.ndarray,
+    center_proj: jnp.ndarray,
+    affines: Sequence,
+    weights: Sequence[jnp.ndarray],
+    row_tile: int = 128,
+    out_dtype=jnp.float32,
+):
+    """proj (B, N, h1), idx (B, M, S) int32, center_proj (B, M, h1),
+    affines = [(a0, c0), (a1, c1), ...] each (h_i,), weights = [W1, ...]
+    (h_{i-1} -> h_i) -> (B, M, C_out) where C_out = affines[-1] width.
+
+    Computes, per (object, centroid, slot):
+        h = relu((proj[idx] - center_proj) * a0 + c0)
+        h = relu((h @ W_i) * a_i + c_i)      for each layer
+        out = max over slots.
+    """
+    B, N, h1 = proj.shape
+    M, S = idx.shape[1:]
+    num_layers = len(weights)
+    assert len(affines) == num_layers + 1
+    C_out = affines[-1][0].shape[0]
+
+    TM = min(row_tile, M)
+    assert M % TM == 0, (M, TM)
+
+    wa = []
+    wa.append(affines[0][0].reshape(1, -1).astype(jnp.float32))
+    wa.append(affines[0][1].reshape(1, -1).astype(jnp.float32))
+    for li in range(num_layers):
+        wa.append(weights[li])
+        wa.append(affines[li + 1][0].reshape(1, -1).astype(jnp.float32))
+        wa.append(affines[li + 1][1].reshape(1, -1).astype(jnp.float32))
+
+    grid = (B, M // TM)
+    wa_specs = [
+        pl.BlockSpec(w.shape, lambda b, m, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for w in wa
+    ]
+    kernel = functools.partial(_kernel, nsample=S, num_layers=num_layers)
+
+    def kernel_entry(idx_ref, proj_ref, center_ref, *rest):
+        kernel(idx_ref, proj_ref, center_ref, *rest[:-1], out_ref=rest[-1])
+
+    return pl.pallas_call(
+        kernel_entry,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TM, S), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, h1), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, h1), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
+            *wa_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TM, C_out), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, M, C_out), out_dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(idx.astype(jnp.int32), proj, center_proj, *wa)
+
+
+def fused_group_mlp_pool_reference(proj, idx, center_proj, affines, weights):
+    """Dense-jnp oracle for the kernel (same math, XLA ops)."""
+    from genpose2_tpu.ops.grouping import group_points
+
+    g = group_points(proj.astype(jnp.float32), idx)  # (B, M, S, h1)
+    h = g - center_proj[:, :, None, :].astype(jnp.float32)
+    a0, c0 = affines[0]
+    h = jnp.maximum(h * a0 + c0, 0.0)
+    for W, (a, c) in zip(weights, affines[1:]):
+        h = jnp.maximum(h @ W.astype(jnp.float32) * a + c, 0.0)
+    return jnp.max(h, axis=2)

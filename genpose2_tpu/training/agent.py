@@ -35,6 +35,7 @@ from genpose2_tpu.diffusion import init_sde, ode_sampler, pc_sampler
 from genpose2_tpu.diffusion.losses import dsm_loss
 from genpose2_tpu.models.posenet import GFObjectPose
 from genpose2_tpu.models.scalenet import ScaleNet, scale_loss
+from genpose2_tpu.models.fast_encoder import fast_cls_forward
 from genpose2_tpu.models.scorenet import make_fast_score_fn
 from genpose2_tpu.training.ema import ema_init, ema_update
 from genpose2_tpu.training.ranking import ranking_loss, sort_results
@@ -115,7 +116,21 @@ class PoseAgent:
     # ------------------------------------------------------------- features
     def extract_features(self, state: TrainState, batch, use_ema: bool = True):
         v = self._variables(state, use_ema)
-        pts_feat = self.model.apply(v, batch, False, method=GFObjectPose.extract_pts_feature)
+        if self.cfg.model.pts_encoder == "pointnet2" and self.cfg.model.dino == "none":
+            # eval fast path: fused SA-scale Pallas kernel, folded BatchNorms
+            # (module-parity tested; see models/fast_encoder.py)
+            pts_feat = fast_cls_forward(
+                {
+                    "params": v["params"]["pts_encoder"],
+                    "batch_stats": v["batch_stats"]["pts_encoder"],
+                },
+                batch["pts"],
+                self.cfg.model.pointnet2,
+            )
+        else:
+            pts_feat = self.model.apply(
+                v, batch, False, method=GFObjectPose.extract_pts_feature
+            )
         rgb_feat = (
             self.model.apply(v, batch, method=GFObjectPose.extract_global_rgb_feature)
             if self.cfg.model.dino == "global"

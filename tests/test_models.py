@@ -347,3 +347,38 @@ class TestSegEncoder:
         out = model.apply(vars_, pts)
         assert out.shape == (2, 128, 1)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFastEncoder:
+    def test_fast_cls_forward_parity(self):
+        """The fused-kernel eval path must equal the module forward."""
+        from genpose2_tpu.config import PointNet2Config
+        from genpose2_tpu.models.fast_encoder import fast_cls_forward
+        from genpose2_tpu.models.pointnet2 import PointNet2ClsMSG
+
+        # small stack exercising multi-stage + GroupAll
+        cfg = PointNet2Config(
+            npoints=(16, 8, None),
+            radii=((0.2, 0.4), (0.4, 0.8), (None, None)),
+            nsamples=((4, 8), (4, 8), (None, None)),
+            mlps=(
+                ((8, 8, 16), (8, 8, 16)),
+                ((16, 16, 32), (16, 24, 32)),
+                ((32, 48), (32, 48)),
+            ),
+        )
+        model = PointNet2ClsMSG(cfg)
+        rng = np.random.default_rng(7)
+        pts = jnp.asarray(rng.uniform(-0.5, 0.5, size=(2, 64, 3)), jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), pts)
+        # randomize params and batch stats so BN folding is non-trivial
+        vars_ = jax.tree_util.tree_map(
+            lambda p: p + jnp.asarray(np.abs(rng.normal(size=p.shape, scale=0.1)), p.dtype),
+            vars_,
+        )
+        ref = model.apply(vars_, pts, train=False)
+        got = fast_cls_forward(
+            {"params": vars_["params"], "batch_stats": vars_["batch_stats"]}, pts, cfg
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -220,3 +220,53 @@ class TestGroupMatmul:
         g1 = jax.grad(lambda x: jnp.sum(group_points(x, idx) ** 2))(feats)
         g2 = jax.grad(lambda x: jnp.sum(group_points_matmul(x, idx) ** 2))(feats)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+class TestFusedSA:
+    def test_matches_oracle(self, rng):
+        """Fused group+center+affine+MLP+pool kernel vs the dense-jnp oracle."""
+        from genpose2_tpu.ops.fused_sa import (
+            fused_group_mlp_pool,
+            fused_group_mlp_pool_reference,
+        )
+
+        B, N, M, S, h1 = 2, 64, 16, 8, 16
+        widths = (16, 24)
+        proj = jnp.asarray(rng.normal(size=(B, N, h1)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, N, size=(B, M, S)).astype(np.int32))
+        center = jnp.asarray(rng.normal(size=(B, M, h1)).astype(np.float32))
+        affines = [
+            (
+                jnp.asarray(rng.uniform(0.5, 1.5, size=(w,)).astype(np.float32)),
+                jnp.asarray(rng.normal(size=(w,)).astype(np.float32)),
+            )
+            for w in (h1,) + widths
+        ]
+        weights = [
+            jnp.asarray(rng.normal(size=(a, b)).astype(np.float32))
+            for a, b in zip((h1,) + widths[:-1], widths)
+        ]
+        ref = fused_group_mlp_pool_reference(proj, idx, center, affines, weights)
+        got = fused_group_mlp_pool(proj, idx, center, affines, weights, row_tile=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_zero_layers(self, rng):
+        """Only the input affine + pool (degenerate single-layer scale)."""
+        from genpose2_tpu.ops.fused_sa import (
+            fused_group_mlp_pool,
+            fused_group_mlp_pool_reference,
+        )
+
+        B, N, M, S, h1 = 1, 32, 8, 4, 8
+        proj = jnp.asarray(rng.normal(size=(B, N, h1)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, N, size=(B, M, S)).astype(np.int32))
+        center = jnp.asarray(rng.normal(size=(B, M, h1)).astype(np.float32))
+        affines = [
+            (
+                jnp.asarray(rng.uniform(0.5, 1.5, size=(h1,)).astype(np.float32)),
+                jnp.asarray(rng.normal(size=(h1,)).astype(np.float32)),
+            )
+        ]
+        ref = fused_group_mlp_pool_reference(proj, idx, center, affines, [])
+        got = fused_group_mlp_pool(proj, idx, center, affines, [], row_tile=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
