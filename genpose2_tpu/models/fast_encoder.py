@@ -22,8 +22,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from genpose2_tpu.config import PointNet2Config
-from genpose2_tpu.ops import ball_query, furthest_point_sample, gather_points
-from genpose2_tpu.ops.fused_sa import fused_group_mlp_pool
+from genpose2_tpu.ops import furthest_point_sample, gather_points
+from genpose2_tpu.ops.fused_sa import fused_sa_scale
 
 _BN_EPS = 1e-5
 
@@ -82,7 +82,6 @@ def fast_cls_forward(variables, pointcloud, cfg: PointNet2Config):
             kern = sa_p[f"proj_kernel_{s}"]
             proj = inp @ kern  # (B, N, h1)
             center = new_xyz @ kern[:3]  # (B, npoint, h1)
-            gidx = ball_query(xyz, new_xyz, radius, ns)
 
             mlp_p = sa_p[f"SharedMLP_{s}"]
             mlp_s = sa_s[f"SharedMLP_{s}"]
@@ -93,8 +92,15 @@ def fast_cls_forward(variables, pointcloud, cfg: PointNet2Config):
                 affines.append(
                     _fold_bn(mlp_p[f"BatchNorm_{li}"], mlp_s[f"BatchNorm_{li}"])
                 )
-            out = fused_group_mlp_pool(
-                proj.astype(dt), gidx, center.astype(jnp.float32), affines, weights
+            out = fused_sa_scale(
+                xyz,
+                new_xyz,
+                proj.astype(dt),
+                center.astype(jnp.float32),
+                affines,
+                weights,
+                radius,
+                ns,
             )
             scale_outputs.append(out)
         features = jnp.concatenate(scale_outputs, axis=-1)

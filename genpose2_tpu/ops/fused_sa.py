@@ -133,6 +133,187 @@ def fused_group_mlp_pool(
     )(idx.astype(jnp.int32), proj, center_proj, *wa)
 
 
+def _sa_scale_kernel(
+    x_ref,
+    y_ref,
+    z_ref,
+    cx_ref,
+    cy_ref,
+    cz_ref,
+    proj_ref,
+    center_ref,
+    *wa_refs,
+    out_ref,
+    radius,
+    nsample,
+    n_valid,
+    num_layers,
+):
+    """Fully fused SA scale: ball query + group + center + affine + MLP + pool.
+
+    Never materializes indices: the grouping one-hot for slot s IS the
+    ball-query rank selector (ranksel == s+1), and the CUDA padding rule
+    (slots past the hit count replay the first hit; zero-hit rows read point
+    0) becomes a post-matmul select on the (TM, h1) grouped values.
+
+    x/y/z (1, 1, N) f32, cx/cy/cz (1, 1, TM) f32, proj (1, N, h1),
+    center (1, TM, h1), wa_refs as in _kernel, out (1, TM, C_out).
+    """
+    x = x_ref[0]  # (1, N)
+    y = y_ref[0]
+    z = z_ref[0]
+    cx = cx_ref[0].reshape(-1, 1)  # (TM, 1)
+    cy = cy_ref[0].reshape(-1, 1)
+    cz = cz_ref[0].reshape(-1, 1)
+    proj = proj_ref[0]  # (N, h1)
+    center = center_ref[0].astype(jnp.float32)  # (TM, h1)
+    TM = cx.shape[0]
+    N = proj.shape[0]
+
+    a0 = wa_refs[0][:]
+    c0 = wa_refs[1][:]
+    layers = []
+    for li in range(num_layers):
+        layers.append(
+            (wa_refs[2 + 3 * li][:], wa_refs[3 + 3 * li][:], wa_refs[4 + 3 * li][:])
+        )
+
+    d2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2  # (TM, N)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, N), dimension=1)
+    maskf = ((d2 < radius * radius) & (lane < n_valid)).astype(jnp.float32)
+
+    # blocked triangular prefix sum (see ball_query_pallas.py)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (128, 128), dimension=0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (128, 128), dimension=1)
+    tri = (r_ids <= c_ids).astype(jnp.bfloat16)
+    pieces = []
+    off = jnp.zeros((TM, 1), jnp.float32)
+    for blk in range(N // 128):
+        m_blk = maskf[:, blk * 128 : (blk + 1) * 128].astype(jnp.bfloat16)
+        within = jnp.dot(m_blk, tri, preferred_element_type=jnp.float32)
+        pieces.append(within + off)
+        off = off + within[:, 127:128]
+    rank = jnp.concatenate(pieces, axis=1)
+    ranksel = (rank * maskf).astype(jnp.int32)  # hit-rank at hits, 0 elsewhere
+    cnt = off.astype(jnp.int32)  # (TM, 1) total hits
+
+    def mlp(h):
+        h = jnp.maximum((h - center) * a0 + c0, 0.0)
+        for W, a, c in layers:
+            z_ = jnp.dot(h.astype(W.dtype), W, preferred_element_type=jnp.float32)
+            h = jnp.maximum(z_ * a + c, 0.0)
+        return h
+
+    g_first = jnp.dot(
+        (ranksel == 1).astype(proj.dtype), proj, preferred_element_type=jnp.float32
+    )
+    # zero-hit rows read point 0 (the CUDA output is zero-initialized)
+    g_pad = jnp.where(cnt > 0, g_first, proj[0:1].astype(jnp.float32))
+    h_pad = mlp(g_pad)
+
+    acc = h_pad  # slot 0 and every padded slot produce h_pad
+    for s in range(1, nsample):
+        onehot = (ranksel == s + 1).astype(proj.dtype)
+        g_s = jnp.dot(onehot, proj, preferred_element_type=jnp.float32)
+        h_s = mlp(g_s)
+        acc = jnp.maximum(acc, jnp.where(cnt > s, h_s, h_pad))
+
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample", "row_tile", "out_dtype"))
+def fused_sa_scale(
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    proj: jnp.ndarray,
+    center_proj: jnp.ndarray,
+    affines: Sequence,
+    weights: Sequence[jnp.ndarray],
+    radius: float,
+    nsample: int,
+    row_tile: int = 128,
+    out_dtype=jnp.float32,
+):
+    """Ball query fused with the grouped MLP: xyz (B, N, 3), new_xyz (B, M, 3),
+    proj (B, N, h1), center_proj (B, M, h1) -> (B, M, C_out).
+
+    Equivalent to
+        fused_group_mlp_pool(proj, ball_query(xyz, new_xyz, radius, nsample),
+                             center_proj, affines, weights)
+    without materializing the indices (parity test: tests/test_ops.py)."""
+    B, N, h1 = proj.shape
+    M = new_xyz.shape[1]
+    num_layers = len(weights)
+    assert len(affines) == num_layers + 1
+    C_out = affines[-1][0].shape[0]
+
+    TM = min(row_tile, M)
+    assert M % TM == 0 and (TM % 128 == 0 or TM == M), (M, TM)
+
+    n_valid = N
+    Np = ((N + 127) // 128) * 128
+    if Np != N:
+        xyz = jnp.pad(xyz, ((0, 0), (0, Np - N), (0, 0)), constant_values=1e9)
+        proj = jnp.pad(proj, ((0, 0), (0, Np - N), (0, 0)))
+
+    xyz = jax.lax.stop_gradient(xyz).astype(jnp.float32)
+    new_xyz = jax.lax.stop_gradient(new_xyz).astype(jnp.float32)
+    x = xyz[..., 0][:, None, :]  # (B, 1, Np)
+    y = xyz[..., 1][:, None, :]
+    z = xyz[..., 2][:, None, :]
+    cx = new_xyz[..., 0][:, None, :]  # (B, 1, M)
+    cy = new_xyz[..., 1][:, None, :]
+    cz = new_xyz[..., 2][:, None, :]
+
+    wa = [
+        affines[0][0].reshape(1, -1).astype(jnp.float32),
+        affines[0][1].reshape(1, -1).astype(jnp.float32),
+    ]
+    for li in range(num_layers):
+        wa.append(weights[li])
+        wa.append(affines[li + 1][0].reshape(1, -1).astype(jnp.float32))
+        wa.append(affines[li + 1][1].reshape(1, -1).astype(jnp.float32))
+    wa_specs = [
+        pl.BlockSpec(w.shape, lambda b, m, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for w in wa
+    ]
+
+    grid = (B, M // TM)
+    pts_spec = pl.BlockSpec((1, 1, Np), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
+    ctr_spec = pl.BlockSpec((1, 1, TM), lambda b, m: (b, 0, m), memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _sa_scale_kernel,
+        radius=radius,
+        nsample=nsample,
+        n_valid=n_valid,
+        num_layers=num_layers,
+    )
+
+    def kernel_entry(*refs):
+        kernel(*refs[:-1], out_ref=refs[-1])
+
+    return pl.pallas_call(
+        kernel_entry,
+        grid=grid,
+        in_specs=[
+            pts_spec,
+            pts_spec,
+            pts_spec,
+            ctr_spec,
+            ctr_spec,
+            ctr_spec,
+            pl.BlockSpec((1, Np, h1), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, h1), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
+            *wa_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TM, C_out), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, M, C_out), out_dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(x, y, z, cx, cy, cz, proj, center_proj, *wa)
+
+
 def fused_group_mlp_pool_reference(proj, idx, center_proj, affines, weights):
     """Dense-jnp oracle for the kernel (same math, XLA ops)."""
     from genpose2_tpu.ops.grouping import group_points

@@ -270,3 +270,40 @@ class TestFusedSA:
         ref = fused_group_mlp_pool_reference(proj, idx, center, affines, [])
         got = fused_group_mlp_pool(proj, idx, center, affines, [], row_tile=8)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_fused_sa_scale_matches_unfused(self, rng):
+        """Ball-query-fused scale kernel == ball_query + fused_group_mlp_pool,
+        including first-hit padding and zero-hit rows."""
+        from genpose2_tpu.ops import ball_query
+        from genpose2_tpu.ops.fused_sa import (
+            fused_group_mlp_pool_reference,
+            fused_sa_scale,
+        )
+
+        B, N, M, S, h1 = 2, 70, 16, 8, 16  # non-128-multiple N exercises padding
+        widths = (16, 24)
+        radius = 0.25
+        xyz = jnp.asarray(rng.uniform(-0.4, 0.4, size=(B, N, 3)).astype(np.float32))
+        # one centroid far away -> zero hits
+        new_xyz = jnp.concatenate(
+            [xyz[:, :M-1], jnp.full((B, 1, 3), 5.0, jnp.float32)], axis=1
+        )
+        proj = jnp.asarray(rng.normal(size=(B, N, h1)).astype(np.float32))
+        center = jnp.asarray(rng.normal(size=(B, M, h1)).astype(np.float32))
+        affines = [
+            (
+                jnp.asarray(rng.uniform(0.5, 1.5, size=(w,)).astype(np.float32)),
+                jnp.asarray(rng.normal(size=(w,)).astype(np.float32)),
+            )
+            for w in (h1,) + widths
+        ]
+        weights = [
+            jnp.asarray(rng.normal(size=(a, b)).astype(np.float32))
+            for a, b in zip((h1,) + widths[:-1], widths)
+        ]
+        idx = ball_query(xyz, new_xyz, radius, S)
+        ref = fused_group_mlp_pool_reference(proj, idx, center, affines, weights)
+        got = fused_sa_scale(
+            xyz, new_xyz, proj, center, affines, weights, radius, S, row_tile=16
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
