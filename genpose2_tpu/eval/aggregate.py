@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from genpose2_tpu.so3.rotations import (
-    average_quaternion_batch,
+    average_quaternion_batch_fast as average_quaternion_batch,
     get_rot_matrix,
     matrix_to_quaternion,
     quaternion_to_matrix,

@@ -35,6 +35,65 @@ def _fold_bn(bn_params, bn_stats):
     return a, c
 
 
+def _fast_sa_stage(sa_p, sa_s, xyz, features, cfg: PointNet2Config, k: int, dt):
+    """One SetAbstractionMSG stage through the fused scale kernel (or the XLA
+    GroupAll when npoint is None). Returns (new_xyz | None, features)."""
+    npoint = cfg.npoints[k]
+    scale_outputs = []
+
+    if npoint is None:
+        # GroupAll (reference: pointnet2_utils.py:301-328): plain SharedMLP
+        # over all points + global max — already fusion-friendly in XLA.
+        grouped = (
+            jnp.concatenate([xyz, features], axis=-1)
+            if (features is not None and cfg.use_xyz)
+            else (features if features is not None else xyz)
+        )
+        for s in range(len(cfg.mlps[k])):
+            mlp_p = sa_p[f"SharedMLP_{s}"]
+            mlp_s = sa_s[f"SharedMLP_{s}"]
+            h = grouped
+            for li in range(len(cfg.mlps[k][s])):
+                kern = mlp_p[f"Dense_{li}"]["kernel"]
+                z = (h.astype(dt) @ kern.astype(dt)).astype(jnp.float32)
+                a, c = _fold_bn(mlp_p[f"BatchNorm_{li}"], mlp_s[f"BatchNorm_{li}"])
+                h = jnp.maximum(z * a + c, 0.0)
+            scale_outputs.append(jnp.max(h, axis=1, keepdims=True))
+        return None, jnp.concatenate(scale_outputs, axis=-1)
+
+    idx = furthest_point_sample(xyz, npoint)
+    new_xyz = gather_points(xyz, idx)
+    inp = (
+        jnp.concatenate([xyz, features], axis=-1)
+        if (features is not None and cfg.use_xyz)
+        else (features if features is not None else xyz)
+    )
+    for s, (radius, ns) in enumerate(zip(cfg.radii[k], cfg.nsamples[k])):
+        kern = sa_p[f"proj_kernel_{s}"]
+        proj = inp @ kern  # (B, N, h1)
+        center = new_xyz @ kern[:3]  # (B, npoint, h1)
+
+        mlp_p = sa_p[f"SharedMLP_{s}"]
+        mlp_s = sa_s[f"SharedMLP_{s}"]
+        affines = [_fold_bn(sa_p[f"BatchNorm_{s}"], sa_s[f"BatchNorm_{s}"])]
+        weights = []
+        for li in range(len(cfg.mlps[k][s]) - 1):
+            weights.append(mlp_p[f"Dense_{li}"]["kernel"].astype(dt))
+            affines.append(_fold_bn(mlp_p[f"BatchNorm_{li}"], mlp_s[f"BatchNorm_{li}"]))
+        out = fused_sa_scale(
+            xyz,
+            new_xyz,
+            proj.astype(dt),
+            center.astype(jnp.float32),
+            affines,
+            weights,
+            radius,
+            ns,
+        )
+        scale_outputs.append(out)
+    return new_xyz, jnp.concatenate(scale_outputs, axis=-1)
+
+
 def fast_cls_forward(variables, pointcloud, cfg: PointNet2Config):
     """variables = {'params', 'batch_stats'} of a PointNet2ClsMSG (possibly a
     sub-tree of a larger model), pointcloud (B, N, 3+C) -> (B, 1024) f32."""
@@ -45,65 +104,78 @@ def fast_cls_forward(variables, pointcloud, cfg: PointNet2Config):
     xyz = pointcloud[..., :3]
     features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
 
-    for k, npoint in enumerate(cfg.npoints):
-        sa_p = params[f"SetAbstractionMSG_{k}"]
-        sa_s = stats[f"SetAbstractionMSG_{k}"]
-        scale_outputs = []
-
-        if npoint is None:
-            # GroupAll (reference: pointnet2_utils.py:301-328): plain SharedMLP
-            # over all points + global max — already fusion-friendly in XLA.
-            grouped = (
-                jnp.concatenate([xyz, features], axis=-1)
-                if (features is not None and cfg.use_xyz)
-                else (features if features is not None else xyz)
-            )
-            for s in range(len(cfg.mlps[k])):
-                mlp_p = sa_p[f"SharedMLP_{s}"]
-                mlp_s = sa_s[f"SharedMLP_{s}"]
-                h = grouped
-                for li in range(len(cfg.mlps[k][s])):
-                    kern = mlp_p[f"Dense_{li}"]["kernel"]
-                    z = (h.astype(dt) @ kern.astype(dt)).astype(jnp.float32)
-                    a, c = _fold_bn(mlp_p[f"BatchNorm_{li}"], mlp_s[f"BatchNorm_{li}"])
-                    h = jnp.maximum(z * a + c, 0.0)
-                scale_outputs.append(jnp.max(h, axis=1, keepdims=True))
-            features = jnp.concatenate(scale_outputs, axis=-1)
-            continue
-
-        idx = furthest_point_sample(xyz, npoint)
-        new_xyz = gather_points(xyz, idx)
-        inp = (
-            jnp.concatenate([xyz, features], axis=-1)
-            if (features is not None and cfg.use_xyz)
-            else (features if features is not None else xyz)
+    for k in range(len(cfg.npoints)):
+        xyz, features = _fast_sa_stage(
+            params[f"SetAbstractionMSG_{k}"],
+            stats[f"SetAbstractionMSG_{k}"],
+            xyz,
+            features,
+            cfg,
+            k,
+            dt,
         )
-        for s, (radius, ns) in enumerate(zip(cfg.radii[k], cfg.nsamples[k])):
-            kern = sa_p[f"proj_kernel_{s}"]
-            proj = inp @ kern  # (B, N, h1)
-            center = new_xyz @ kern[:3]  # (B, npoint, h1)
 
-            mlp_p = sa_p[f"SharedMLP_{s}"]
-            mlp_s = sa_s[f"SharedMLP_{s}"]
-            affines = [_fold_bn(sa_p[f"BatchNorm_{s}"], sa_s[f"BatchNorm_{s}"])]
-            weights = []
-            for li in range(len(cfg.mlps[k][s]) - 1):
-                weights.append(mlp_p[f"Dense_{li}"]["kernel"].astype(dt))
-                affines.append(
-                    _fold_bn(mlp_p[f"BatchNorm_{li}"], mlp_s[f"BatchNorm_{li}"])
-                )
-            out = fused_sa_scale(
-                xyz,
-                new_xyz,
-                proj.astype(dt),
-                center.astype(jnp.float32),
-                affines,
-                weights,
-                radius,
-                ns,
+    return features.squeeze(1)
+
+
+def fast_fus_forward(variables, pointcloud, cfg: PointNet2Config):
+    """Eval fast path for the flagship PointNet2ClsMSGFus encoder: fused SA
+    stages, with the gated-fusion / relative-PE transformer submodules applied
+    through their own module trees (deterministic at eval; the train-time
+    input jitter is a no-op here).
+
+    reference: pointnet2.py:255-388 (Pointnet2ClsMSGFus).
+    Parity: tests/test_models.py::test_fast_fus_forward_parity."""
+    from genpose2_tpu.models.attention import (
+        EfficientRelativePositionalEncoding,
+        GatedAttentionFusion,
+        TransformerBlockWithRelativePE,
+    )
+    from genpose2_tpu.models.layers import linear_resize_points
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    xyz = pointcloud[..., :3]
+    features = pointcloud[..., 3:]
+    downsampled = features
+
+    out_channels = [sum(m[-1] for m in stage) for stage in cfg.mlps]
+
+    for k in range(len(cfg.npoints)):
+        if k > 0:
+            if downsampled.shape[1] != features.shape[1]:
+                downsampled = linear_resize_points(downsampled, features.shape[1])
+            name = f"GatedAttentionFusion_{k - 1}"
+            features = GatedAttentionFusion(out_channels[k - 1]).apply(
+                {"params": params[name], "batch_stats": stats.get(name, {})},
+                features,
+                downsampled,
+                train=False,
             )
-            scale_outputs.append(out)
-        features = jnp.concatenate(scale_outputs, axis=-1)
+
+        new_xyz, features = _fast_sa_stage(
+            params[f"SetAbstractionMSG_{k}"],
+            stats[f"SetAbstractionMSG_{k}"],
+            xyz,
+            features,
+            cfg,
+            k,
+            dt,
+        )
+
+        if new_xyz is not None:
+            name = f"EfficientRelativePositionalEncoding_{k}"
+            rel_bias = EfficientRelativePositionalEncoding(cfg.num_heads).apply(
+                {"params": params[name]}, new_xyz
+            )
+        else:
+            rel_bias = None
+        name = f"TransformerBlockWithRelativePE_{k}"
+        features = TransformerBlockWithRelativePE(
+            out_channels[k], cfg.num_heads, cfg.dropout
+        ).apply({"params": params[name]}, features, rel_bias, deterministic=True)
         xyz = new_xyz
 
     return features.squeeze(1)

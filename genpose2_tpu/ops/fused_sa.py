@@ -197,8 +197,8 @@ def _sa_scale_kernel(
     ranksel = (rank * maskf).astype(jnp.int32)  # hit-rank at hits, 0 elsewhere
     cnt = off.astype(jnp.int32)  # (TM, 1) total hits
 
-    def mlp(h):
-        h = jnp.maximum((h - center) * a0 + c0, 0.0)
+    def mlp(h, ctr):
+        h = jnp.maximum((h - ctr) * a0 + c0, 0.0)
         for W, a, c in layers:
             z_ = jnp.dot(h.astype(W.dtype), W, preferred_element_type=jnp.float32)
             h = jnp.maximum(z_ * a + c, 0.0)
@@ -209,14 +209,31 @@ def _sa_scale_kernel(
     )
     # zero-hit rows read point 0 (the CUDA output is zero-initialized)
     g_pad = jnp.where(cnt > 0, g_first, proj[0:1].astype(jnp.float32))
-    h_pad = mlp(g_pad)
+    h_pad = mlp(g_pad, center)
 
-    acc = h_pad  # slot 0 and every padded slot produce h_pad
-    for s in range(1, nsample):
-        onehot = (ranksel == s + 1).astype(proj.dtype)
-        g_s = jnp.dot(onehot, proj, preferred_element_type=jnp.float32)
-        h_s = mlp(g_s)
-        acc = jnp.maximum(acc, jnp.where(cnt > s, h_s, h_pad))
+    # Slots are processed SC at a time: the SC per-slot one-hot selectors are
+    # stacked into one (SC*TM, N) operand so the grouping product and the MLP
+    # chain run as few wide matmuls instead of nsample skinny ones (better MXU
+    # streaming; the compare cost is identical).
+    SC = min(8, nsample)
+    while nsample % SC:
+        SC -= 1
+    rank_t = jnp.concatenate([ranksel] * SC, axis=0)  # (SC*TM, N), tile order
+    center_t = jnp.concatenate([center] * SC, axis=0)
+    cnt_t = jnp.concatenate([cnt] * SC, axis=0)
+    h_pad_t = jnp.concatenate([h_pad] * SC, axis=0)
+    # slot number of each stacked row (tile order: rows [s*TM:(s+1)*TM])
+    srow = jax.lax.broadcasted_iota(jnp.int32, (SC * TM, 1), 0) // TM
+
+    acc = h_pad  # every padded slot produces h_pad
+    for ci in range(nsample // SC):
+        svals = srow + (ci * SC + 1)  # slot index s+1 per stacked row
+        onehot = (rank_t == svals).astype(proj.dtype)
+        g = jnp.dot(onehot, proj, preferred_element_type=jnp.float32)
+        h = mlp(g, center_t)
+        h = jnp.where(cnt_t > svals - 1, h, h_pad_t)
+        chunk_max = jnp.max(h.reshape(SC, TM, -1), axis=0)
+        acc = jnp.maximum(acc, chunk_max)
 
     out_ref[0] = acc.astype(out_ref.dtype)
 

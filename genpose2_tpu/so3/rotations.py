@@ -295,6 +295,44 @@ def average_quaternion_batch(Q: jnp.ndarray, weights: jnp.ndarray | None = None)
     return jnp.where(q_avg[..., 0:1] > 0, q_avg, -q_avg)
 
 
+def average_quaternion_batch_fast(
+    Q: jnp.ndarray, weights: jnp.ndarray | None = None, num_iters: int = 25
+) -> jnp.ndarray:
+    """Power-iteration variant of :func:`average_quaternion_batch` for the
+    eval hot path: the top eigenvector of the 4x4 weighted outer-product
+    matrix via ``num_iters`` normalized matvecs instead of a batched eigh
+    (XLA lowers small batched eigh to a host-unfriendly QR loop on TPU).
+
+    Init = the sign-aligned weighted mean quaternion, which has positive
+    overlap with the principal eigenvector whenever the cluster is tighter
+    than a hemisphere (the pipeline's retained candidates are); convergence is
+    geometric in lambda2/lambda1. Agreement with the exact eigh is asserted in
+    tests/test_so3.py.
+    """
+    B, K, _ = Q.shape
+    if weights is None:
+        weights = jnp.full((B, K), 1.0 / K, dtype=Q.dtype)
+    weight_sum = jnp.sum(weights, axis=-1)
+    oriented = jnp.where(Q[..., 0:1] > 0, Q, -Q)
+    A = jnp.einsum(
+        "bki,bkj,bk->bij", oriented, oriented, weights, precision=jax.lax.Precision.HIGHEST
+    )
+    A = A / jnp.maximum(weight_sum, 1e-12)[:, None, None]
+
+    v0 = jnp.einsum("bk,bki->bi", weights, oriented)
+    # degenerate all-cancelling init -> fall back to e_w
+    small = jnp.linalg.norm(v0, axis=-1, keepdims=True) < 1e-6
+    v0 = jnp.where(small, jnp.array([1.0, 0.0, 0.0, 0.0], Q.dtype), v0)
+
+    def body(v, _):
+        v = jnp.einsum("bij,bj->bi", A, v, precision=jax.lax.Precision.HIGHEST)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        return v, None
+
+    v, _ = jax.lax.scan(body, v0 / jnp.maximum(jnp.linalg.norm(v0, axis=-1, keepdims=True), 1e-12), None, length=num_iters)
+    return jnp.where(v[..., 0:1] > 0, v, -v)
+
+
 # ----------------------------------------------------------------- embeddings
 def encode_axes(axes: jnp.ndarray, dim: int) -> jnp.ndarray:
     """sin/cos positional encoding of a flattened axes tensor.

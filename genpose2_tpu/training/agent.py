@@ -35,7 +35,7 @@ from genpose2_tpu.diffusion import init_sde, ode_sampler, pc_sampler
 from genpose2_tpu.diffusion.losses import dsm_loss
 from genpose2_tpu.models.posenet import GFObjectPose
 from genpose2_tpu.models.scalenet import ScaleNet, scale_loss
-from genpose2_tpu.models.fast_encoder import fast_cls_forward
+from genpose2_tpu.models.fast_encoder import fast_cls_forward, fast_fus_forward
 from genpose2_tpu.models.scorenet import make_fast_score_fn
 from genpose2_tpu.training.ema import ema_init, ema_update
 from genpose2_tpu.training.ranking import ranking_loss, sort_results
@@ -116,17 +116,30 @@ class PoseAgent:
     # ------------------------------------------------------------- features
     def extract_features(self, state: TrainState, batch, use_ema: bool = True):
         v = self._variables(state, use_ema)
+        enc_vars = {
+            "params": v["params"].get("pts_encoder"),
+            "batch_stats": v["batch_stats"].get("pts_encoder"),
+        }
         if self.cfg.model.pts_encoder == "pointnet2" and self.cfg.model.dino == "none":
             # eval fast path: fused SA-scale Pallas kernel, folded BatchNorms
             # (module-parity tested; see models/fast_encoder.py)
             pts_feat = fast_cls_forward(
-                {
-                    "params": v["params"]["pts_encoder"],
-                    "batch_stats": v["batch_stats"]["pts_encoder"],
-                },
-                batch["pts"],
-                self.cfg.model.pointnet2,
+                enc_vars, batch["pts"], self.cfg.model.pointnet2
             )
+        elif self.cfg.model.pts_encoder == "pointnet2" and self.cfg.model.dino == "pointwise":
+            # flagship path: DINO fusion + per-point gather via the module,
+            # then the fused-kernel Fus encoder
+            fused = self.model.apply(
+                v, batch["dino_layers"], method=GFObjectPose.fuse_dino_layers
+            )
+            rgb = self.model.apply(
+                v, fused, batch["roi_xs"], batch["roi_ys"],
+                method=GFObjectPose.pointwise_rgb_feat,
+            )
+            inp = jnp.concatenate(
+                [batch["pts"], jax.lax.stop_gradient(rgb)], axis=-1
+            )
+            pts_feat = fast_fus_forward(enc_vars, inp, self.cfg.model.pointnet2)
         else:
             pts_feat = self.model.apply(
                 v, batch, False, method=GFObjectPose.extract_pts_feature

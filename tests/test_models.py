@@ -382,3 +382,25 @@ class TestFastEncoder:
         )
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_fast_fus_forward_parity(self):
+        """Fus-variant fast path == module forward (eval mode)."""
+        from genpose2_tpu.models.fast_encoder import fast_fus_forward
+
+        cfg = TINY.model.pointnet2
+        model = PointNet2ClsMSGFus(cfg)
+        rng = np.random.default_rng(11)
+        pc = jnp.asarray(rng.uniform(-0.5, 0.5, size=(2, 128, 3 + 16)), jnp.float32)
+        vars_ = model.init(
+            {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)}, pc
+        )
+        vars_ = jax.tree_util.tree_map(
+            lambda p: p + jnp.asarray(np.abs(rng.normal(size=p.shape, scale=0.05)), p.dtype),
+            vars_,
+        )
+        ref = model.apply(vars_, pc, False)
+        got = fast_fus_forward(
+            {"params": vars_["params"], "batch_stats": vars_["batch_stats"]}, pc, cfg
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)

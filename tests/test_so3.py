@@ -168,3 +168,28 @@ class TestEncodeAxes:
         # first entries: sin(2^k * 0.5)
         expected = np.sin(2.0 ** np.arange(10) * 0.5)
         np.testing.assert_allclose(np.asarray(out)[0, :10], expected, atol=1e-5)
+
+
+class TestFastQuaternionAverage:
+    def test_matches_eigh_on_clusters(self):
+        """Power-iteration average == exact eigh average on clustered inputs
+        (the aggregation pipeline's regime: retained candidates near a mode)."""
+        from genpose2_tpu.so3.rotations import (
+            average_quaternion_batch,
+            average_quaternion_batch_fast,
+        )
+
+        rng = np.random.default_rng(5)
+        B, K = 16, 20
+        base = rng.normal(size=(B, 1, 4))
+        base /= np.linalg.norm(base, axis=-1, keepdims=True)
+        noise = rng.normal(size=(B, K, 4)) * 0.15
+        Q = base + noise
+        Q /= np.linalg.norm(Q, axis=-1, keepdims=True)
+        Q = jnp.asarray(Q, jnp.float32)
+        w = jnp.asarray(np.abs(rng.normal(size=(B, K))) + 0.1, jnp.float32)
+        exact = np.asarray(average_quaternion_batch(Q, w))
+        fast = np.asarray(average_quaternion_batch_fast(Q, w))
+        # same quaternion up to sign (both sign-fixed to w>0)
+        dots = np.abs(np.sum(exact * fast, axis=-1))
+        np.testing.assert_allclose(dots, 1.0, atol=1e-5)
