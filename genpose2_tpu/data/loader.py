@@ -88,7 +88,18 @@ class DataLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         drop_last: bool = False,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_index``/``num_shards``: multi-host sharding — every host
+        builds the SAME seeded global permutation and keeps a disjoint
+        contiguous slice of it (the torch DistributedSampler contract the
+        reference imports but never uses, datasets_omni6dpose.py:19).
+        ``batch_size`` is the HOST-LOCAL batch size. The permutation is
+        truncated to a multiple of ``num_shards`` so shards stay equal-length
+        and hosts emit the same number of batches (no stragglers in the
+        collective)."""
+        assert 0 <= shard_index < num_shards, (shard_index, num_shards)
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -96,16 +107,24 @@ class DataLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self._epoch = 0
 
+    def _shard_len(self):
+        return len(self.dataset) // self.num_shards
+
     def __len__(self):
-        n = len(self.dataset)
+        n = self._shard_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        if self.num_shards > 1:
+            n = self._shard_len()
+            order = order[self.shard_index * n : (self.shard_index + 1) * n]
         self._epoch += 1
         batches = [
             order[i : i + self.batch_size]

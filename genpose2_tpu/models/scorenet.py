@@ -65,6 +65,7 @@ def make_fast_score_fn(
     rgb_feat=None,
     pose_dim: int = 9,
     regression_head: str = "Rx_Ry_and_T",
+    uniform_t: bool = False,
 ):
     """Sampler fast path: an (x, t) -> score closure algebraically equal to
     ``PoseScoreNet.__call__`` but restructured for the ODE loop.
@@ -77,6 +78,11 @@ def make_fast_score_fn(
     dynamic rows — with all heads' first-layer kernels fused into a single
     matmul for MXU utilization. A fixed-grid RK4 sampler calls the score
     4 x num_steps times, so this is the eval pipeline's hot function.
+
+    ``uniform_t=True`` (set by the agent's sampler path: every sampler
+    evaluates the whole batch at ONE diffusion time per call) additionally
+    computes the t-embedding and its first-layer contribution on a single row
+    and broadcasts — the per-row dynamic matmul then runs only the pose rows.
 
     Parity with the module (same params) is asserted in
     tests/test_models.py::test_fast_score_fn_parity.
@@ -114,22 +120,40 @@ def make_fast_score_fn(
     static = static + b1  # (B, sum widths)
 
     W1_dyn = W1[F : F + dyn_dim]
+    W1_t = W1_dyn[:128]
+    W1_pose = W1_dyn[128:]
 
-    def score(x, t):
+    def _t_embed(t):
         proj = t[:, 0:1] * fourier_W[None, :] * 2.0 * jnp.pi
         t_feat = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
-        t_feat = jax.nn.relu(t_feat @ t_dense["kernel"] + t_dense["bias"])
-        h = x
-        for layer in ("Dense_0", "Dense_1"):
-            h = jax.nn.relu(h @ pose_mlp[layer]["kernel"] + pose_mlp[layer]["bias"])
-        dyn = jnp.concatenate([t_feat, h], axis=-1)  # (B, 384)
-        hidden = jax.nn.relu(dyn @ W1_dyn + static)
+        return jax.nn.relu(t_feat @ t_dense["kernel"] + t_dense["bias"])
+
+    def _heads(hidden, t):
         outs = [
             hidden[:, o : o + w] @ W2 + b2
             for o, w, W2, b2 in zip(offsets, widths, W2s, b2s)
         ]
-        out = jnp.concatenate(outs, axis=-1)
-        return out / (marginal_std_fn(t) + 1e-7)
+        return jnp.concatenate(outs, axis=-1) / (marginal_std_fn(t) + 1e-7)
+
+    def _pose_feat(x):
+        h = x
+        for layer in ("Dense_0", "Dense_1"):
+            h = jax.nn.relu(h @ pose_mlp[layer]["kernel"] + pose_mlp[layer]["bias"])
+        return h
+
+    if uniform_t:
+
+        def score(x, t):
+            t_contrib = _t_embed(t[:1]) @ W1_t  # (1, sum widths), one row
+            hidden = jax.nn.relu(_pose_feat(x) @ W1_pose + (static + t_contrib))
+            return _heads(hidden, t)
+
+    else:
+
+        def score(x, t):
+            dyn = jnp.concatenate([_t_embed(t), _pose_feat(x)], axis=-1)
+            hidden = jax.nn.relu(dyn @ W1_dyn + static)
+            return _heads(hidden, t)
 
     return score
 

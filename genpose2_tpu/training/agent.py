@@ -165,6 +165,7 @@ class PoseAgent:
                 rgb_feat,
                 pose_dim=self.cfg.model.pose_dim,
                 regression_head=self.cfg.model.regression_head,
+                uniform_t=False,  # measured slower on v5e: the (1, .) t-row ops break fusion
             )
 
         def fn(x, t):

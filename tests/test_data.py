@@ -179,3 +179,42 @@ class TestRoiPrimitives:
         xy = get_2d_coord_np(4, 3)
         assert xy.shape == (2, 3, 4)
         assert xy[0, 0, 3] == 3 and xy[1, 2, 0] == 2
+
+
+class TestShardedLoader:
+    def test_shards_are_disjoint_covering_and_equal_length(self):
+        """Multi-host sharding: same seeded permutation on every host, disjoint
+        equal-length slices, equal batch counts."""
+        from genpose2_tpu.data.loader import DataLoader
+
+        class Ds:
+            def __len__(self):
+                return 103  # deliberately not a multiple of num_shards
+
+            def __getitem__(self, i):
+                return {"idx": np.asarray(i)}
+
+        num_shards = 4
+        seen = []
+        lengths = []
+        for s in range(num_shards):
+            dl = DataLoader(
+                Ds(), batch_size=5, shuffle=True, seed=7, num_workers=2,
+                shard_index=s, num_shards=num_shards,
+            )
+            ids = []
+            for b in dl:
+                ids.extend(int(v) for v in b["idx"])
+            seen.append(set(ids))
+            lengths.append(len(ids))
+        assert len(set(lengths)) == 1  # equal shard sizes
+        assert lengths[0] == 103 // num_shards
+        union = set().union(*seen)
+        assert sum(len(s) for s in seen) == len(union)  # disjoint
+        # deterministic across constructions (same seed, same epoch)
+        dl2 = DataLoader(
+            Ds(), batch_size=5, shuffle=True, seed=7, num_workers=2,
+            shard_index=0, num_shards=num_shards,
+        )
+        ids2 = [int(v) for b in dl2 for v in b["idx"]]
+        assert set(ids2) == seen[0]

@@ -404,3 +404,26 @@ class TestFastEncoder:
         )
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("head", ["RT", "Rx_Ry_and_T"])
+    def test_fast_score_fn_uniform_t_parity(self, head):
+        """uniform_t fast path == module forward when all rows share one t."""
+        from genpose2_tpu.models.scorenet import make_fast_score_fn
+
+        model = PoseScoreNet(std_fn, pose_dim=9, regression_head=head)
+        B = 6
+        rng = np.random.default_rng(9)
+        pts_feat = jnp.asarray(rng.normal(size=(B, 1024)), jnp.float32)
+        pose = jnp.asarray(rng.normal(size=(B, 9)), jnp.float32)
+        t = jnp.full((B, 1), 0.37, jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), pts_feat, None, pose, t)
+        vars_ = jax.tree_util.tree_map(
+            lambda p: p + jnp.asarray(rng.normal(size=p.shape, scale=0.05), p.dtype),
+            vars_,
+        )
+        ref = model.apply(vars_, pts_feat, None, pose, t)
+        fast = make_fast_score_fn(
+            vars_["params"], vars_["constants"], std_fn, pts_feat, None,
+            pose_dim=9, regression_head=head, uniform_t=True,
+        )(pose, t)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=2e-5, atol=2e-5)
