@@ -181,6 +181,9 @@ class DataConfig:
     per_obj: str = ""
     percentage_data: float = 1.0
     seed: int = 0
+    # decoded-frame LRU size (frames); REPCNT oversampling and multi-object
+    # frames re-decode the same image many times per epoch without it
+    frame_cache: int = 32
     # Dynamic zoom-in (reference: cfg.DYNAMIC_ZOOM_IN_PARAMS)
     dzi_pad_scale: float = 1.5
     dzi_type: str = "uniform"  # 'uniform' | 'roi10d' | 'truncnorm' | 'none'

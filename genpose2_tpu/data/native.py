@@ -60,6 +60,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def available() -> bool:
+    if os.environ.get("GP2_DISABLE_NATIVE"):
+        return False  # A/B escape hatch (scripts/bench_dataloader.py)
     return get_lib() is not None
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import glob
 import json
+import threading
 import os
 import random
 from typing import Optional
@@ -60,10 +61,24 @@ def load_color(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+def _imread_exr(path: str):
+    """EXR via cv2 when its build has the codec, else the built-in numpy
+    codec (genpose2_tpu/data/exr.py) — many OpenCV builds ship without
+    OpenEXR support, and the Omni6DPose depth/mask files are EXR."""
+    d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if d is None:
+        from genpose2_tpu.data.exr import read_exr
+
+        d = read_exr(path)
+        if d.dtype == np.float16:
+            d = d.astype(np.float32)
+    return d
+
+
 def load_depth(prefix: str) -> np.ndarray:
     """Depth in meters; EXR preferred, uint16-mm PNG fallback."""
     if os.path.exists(prefix + "depth.exr"):
-        d = cv2.imread(prefix + "depth.exr", cv2.IMREAD_UNCHANGED)
+        d = _imread_exr(prefix + "depth.exr")
         if d is not None and d.ndim == 3:
             d = d[..., 0]
     else:
@@ -79,7 +94,7 @@ def load_mask(prefix: str) -> np.ndarray:
     for name in ("mask.exr", "mask.png"):
         p = prefix + name
         if os.path.exists(p):
-            m = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+            m = _imread_exr(p) if name.endswith(".exr") else cv2.imread(p, cv2.IMREAD_UNCHANGED)
             if m is not None and m.ndim == 3:
                 m = m[..., 0]
             return m.astype(np.int32)
@@ -258,6 +273,28 @@ class Omni6DPoseDataset:
             with open(obj_meta_path) as f:
                 self.obj_meta = json.load(f).get("instance_dict", {})
         self.length = len(self.img_list) * (self.REPCNT if self.train else 1)
+        # decoded-frame LRU: REPCNT oversampling re-reads every training frame
+        # REPCNT times per epoch, and each multi-object frame is re-read once
+        # per object at eval — caching the (rgb, depth, mask) decode converts
+        # those into hits. Thread-safe for the threaded DataLoader.
+        self._cache_frames = max(0, int(cfg.frame_cache))
+        self._cache: "dict[str, tuple]" = {}
+        self._cache_lock = threading.Lock()
+
+    def _load_frame(self, prefix: str):
+        if self._cache_frames:
+            with self._cache_lock:
+                hit = self._cache.pop(prefix, None)
+                if hit is not None:
+                    self._cache[prefix] = hit  # re-insert as most-recent
+                    return hit
+        frame = (load_color(prefix + "color.png"), load_depth(prefix), load_mask(prefix))
+        if self._cache_frames:
+            with self._cache_lock:
+                self._cache[prefix] = frame
+                while len(self._cache) > self._cache_frames:
+                    self._cache.pop(next(iter(self._cache)))
+        return frame
 
     def __len__(self):
         return self.length
@@ -293,9 +330,7 @@ class Omni6DPoseDataset:
             else:
                 obj = valid_objects[index % len(valid_objects)]
 
-            rgb = load_color(prefix + "color.png")
-            depth = load_depth(prefix)
-            mask = load_mask(prefix)
+            rgb, depth, mask = self._load_frame(prefix)
             sym = self._sym_for(obj["meta"]["oid"])
             sample = extract_object_sample(
                 rgb, depth, mask, meta, obj, sym, self.cfg, self.rng, self.train
