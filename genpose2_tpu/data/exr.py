@@ -46,8 +46,14 @@ def _parse_channels(data: bytes) -> List[Tuple[str, int]]:
     off = 0
     while data[off] != 0:
         name, off = _read_cstr(data, off)
-        ptype, _plinear = struct.unpack_from("<iB", data, off)
+        ptype, _plinear, _r0, _r1, _r2, xs, ys = struct.unpack_from(
+            "<iBBBBii", data, off
+        )
         off += 16  # type(4) + pLinear(1) + reserved(3) + xs(4) + ys(4)
+        if xs != 1 or ys != 1:
+            raise NotImplementedError(
+                f"EXR channel sub-sampling ({xs}x{ys}) not supported"
+            )
         out.append((name, ptype))
     return out
 
@@ -96,8 +102,8 @@ def read_exr(path: str) -> np.ndarray:
     magic, version = struct.unpack_from("<ii", buf, 0)
     if magic != _MAGIC:
         raise ValueError(f"{path}: not an EXR file")
-    if version & 0x200 or version & 0x1000:
-        raise NotImplementedError("tiled / multi-part EXR not supported")
+    if version & 0x200 or version & 0x1000 or version & 0x800:
+        raise NotImplementedError("tiled / multi-part / deep EXR not supported")
 
     off = 8
     attrs: Dict[str, bytes] = {}
@@ -159,7 +165,9 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip") -> None:
     H, W, C = img.shape
     if img.dtype == np.float64:
         img = img.astype(np.float32)
-    names = ["Y"] if C == 1 else (["B", "G", "R"] if C == 3 else [f"C{i}" for i in range(C)])
+    # zero-padded generic names keep numeric order == the spec's sorted-name
+    # order for any channel count (C10 would otherwise sort before C2)
+    names = ["Y"] if C == 1 else (["B", "G", "R"] if C == 3 else [f"C{i:03d}" for i in range(C)])
     order = np.argsort(names)  # spec: channels sorted by name
     ptype = _PIXELTYPE_INV[img.dtype]
 

@@ -100,6 +100,10 @@ class DataLoader:
         and hosts emit the same number of batches (no stragglers in the
         collective)."""
         assert 0 <= shard_index < num_shards, (shard_index, num_shards)
+        assert num_shards <= len(dataset), (
+            f"num_shards={num_shards} exceeds dataset size {len(dataset)}: "
+            "every shard would be empty"
+        )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

@@ -55,7 +55,10 @@ def _fast_sa_stage(sa_p, sa_s, xyz, features, cfg: PointNet2Config, k: int, dt):
             h = grouped
             for li in range(len(cfg.mlps[k][s])):
                 kern = mlp_p[f"Dense_{li}"]["kernel"]
-                z = (h.astype(dt) @ kern.astype(dt)).astype(jnp.float32)
+                # module parity: the GroupAll branch's SharedMLP is created
+                # WITHOUT a compute dtype (models/pointnet2.py GroupAll), so
+                # it stays f32 even in bf16 configs — match it exactly
+                z = h.astype(jnp.float32) @ kern
                 a, c = _fold_bn(mlp_p[f"BatchNorm_{li}"], mlp_s[f"BatchNorm_{li}"])
                 h = jnp.maximum(z * a + c, 0.0)
             scale_outputs.append(jnp.max(h, axis=1, keepdims=True))
@@ -71,7 +74,12 @@ def _fast_sa_stage(sa_p, sa_s, xyz, features, cfg: PointNet2Config, k: int, dt):
     for s, (radius, ns) in enumerate(zip(cfg.radii[k], cfg.nsamples[k])):
         kern = sa_p[f"proj_kernel_{s}"]
         proj = inp @ kern  # (B, N, h1)
-        center = new_xyz @ kern[:3]  # (B, npoint, h1)
+        if cfg.use_xyz:
+            center = new_xyz @ kern[:3]  # (B, npoint, h1)
+        else:
+            # module parity: SetAbstractionMSG only centers when use_xyz
+            # (the first 3 kernel rows are feature rows otherwise)
+            center = jnp.zeros((new_xyz.shape[0], new_xyz.shape[1], kern.shape[1]))
 
         mlp_p = sa_p[f"SharedMLP_{s}"]
         mlp_s = sa_s[f"SharedMLP_{s}"]

@@ -32,6 +32,31 @@ from jax.experimental.pallas import tpu as pltpu
 _RB = 8  # batch rows per program (f32 sublane tile)
 
 
+def blocked_prefix_rank(mask2: "jnp.ndarray") -> "jnp.ndarray":
+    """In-kernel lane-axis prefix sum of a 0/1 mask (R, N) -> f32 rank (R, N),
+    rank[r, k] = #ones with index <= k.
+
+    Blocked triangular matmul: per 128-lane block, within-block rank =
+    mask_blk @ tri128 (tri128[j,k] = j <= k) plus the running count of all
+    previous blocks — R*N*128 FLOPs instead of the naive R*N*N full-triangular
+    product (8x fewer at N=1024). Counts <= N are exact in the f32 accumulator
+    with bf16 0/1 operands. Shared by the ball-query and fused-SA kernels.
+    """
+    R, N = mask2.shape
+    assert N % 128 == 0, N  # caller pads
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (128, 128), dimension=0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (128, 128), dimension=1)
+    tri = (r_ids <= c_ids).astype(jnp.bfloat16)
+    pieces = []
+    off = jnp.zeros((R, 1), jnp.float32)
+    for blk in range(N // 128):
+        m_blk = mask2[:, blk * 128 : (blk + 1) * 128].astype(jnp.bfloat16)
+        within = jnp.dot(m_blk, tri, preferred_element_type=jnp.float32)
+        pieces.append(within + off)
+        off = off + within[:, 127:128]
+    return jnp.concatenate(pieces, axis=1)
+
+
 def _bq_kernel(x_ref, y_ref, z_ref, cx_ref, cy_ref, cz_ref, out_ref, *, radius, nsample, n_valid):
     RB, N = x_ref.shape
     TM = cx_ref.shape[1]
@@ -46,25 +71,7 @@ def _bq_kernel(x_ref, y_ref, z_ref, cx_ref, cy_ref, cz_ref, out_ref, *, radius, 
     lane = jax.lax.broadcasted_iota(jnp.int32, (RB, TM, N), dimension=2)
     maskf = ((d2 < radius * radius) & (lane < n_valid)).astype(jnp.float32)
 
-    # rank[b, m, k] = #hits with index <= k — a prefix sum along lanes,
-    # computed as a BLOCKED triangular matmul: per 128-lane block,
-    # within-block rank = mask_blk @ tri128 (tri128[j,k] = j <= k), plus the
-    # running count of all previous blocks. FLOPs are R*N*128 instead of the
-    # naive R*N*N full-triangular product (8x fewer at N=1024). Counts <= N
-    # are exact in the f32 accumulator with bf16 0/1 operands.
-    assert N % 128 == 0, N  # caller pads
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (128, 128), dimension=0)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (128, 128), dimension=1)
-    tri = (r_ids <= c_ids).astype(jnp.bfloat16)
-    mask2 = maskf.reshape(RB * TM, N)
-    pieces = []
-    off = jnp.zeros((RB * TM, 1), jnp.float32)
-    for blk in range(N // 128):
-        m_blk = mask2[:, blk * 128 : (blk + 1) * 128].astype(jnp.bfloat16)
-        within = jnp.dot(m_blk, tri, preferred_element_type=jnp.float32)
-        pieces.append(within + off)
-        off = off + within[:, 127:128]
-    rank = jnp.concatenate(pieces, axis=1).reshape(RB, TM, N)
+    rank = blocked_prefix_rank(maskf.reshape(RB * TM, N)).reshape(RB, TM, N)
     # ranksel: hit-rank at hit positions, 0 elsewhere — the only live (.., N)
     # tensor the extraction loop needs besides the lane iota
     ranksel = (rank * maskf).astype(jnp.int32)

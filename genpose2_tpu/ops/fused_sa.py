@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from genpose2_tpu.ops.ball_query_pallas import blocked_prefix_rank
+
 
 def _kernel(idx_ref, proj_ref, center_ref, *wa_refs, out_ref, nsample, num_layers):
     """One (batch row, centroid tile) program.
@@ -182,20 +184,9 @@ def _sa_scale_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (TM, N), dimension=1)
     maskf = ((d2 < radius * radius) & (lane < n_valid)).astype(jnp.float32)
 
-    # blocked triangular prefix sum (see ball_query_pallas.py)
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (128, 128), dimension=0)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (128, 128), dimension=1)
-    tri = (r_ids <= c_ids).astype(jnp.bfloat16)
-    pieces = []
-    off = jnp.zeros((TM, 1), jnp.float32)
-    for blk in range(N // 128):
-        m_blk = maskf[:, blk * 128 : (blk + 1) * 128].astype(jnp.bfloat16)
-        within = jnp.dot(m_blk, tri, preferred_element_type=jnp.float32)
-        pieces.append(within + off)
-        off = off + within[:, 127:128]
-    rank = jnp.concatenate(pieces, axis=1)
+    rank = blocked_prefix_rank(maskf)
     ranksel = (rank * maskf).astype(jnp.int32)  # hit-rank at hits, 0 elsewhere
-    cnt = off.astype(jnp.int32)  # (TM, 1) total hits
+    cnt = rank[:, -1:].astype(jnp.int32)  # (TM, 1) total hits
 
     def mlp(h, ctr):
         h = jnp.maximum((h - ctr) * a0 + c0, 0.0)

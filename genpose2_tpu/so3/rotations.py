@@ -296,7 +296,7 @@ def average_quaternion_batch(Q: jnp.ndarray, weights: jnp.ndarray | None = None)
 
 
 def average_quaternion_batch_fast(
-    Q: jnp.ndarray, weights: jnp.ndarray | None = None, num_iters: int = 25
+    Q: jnp.ndarray, weights: jnp.ndarray | None = None, num_iters: int = 40
 ) -> jnp.ndarray:
     """Power-iteration variant of :func:`average_quaternion_batch` for the
     eval hot path: the top eigenvector of the 4x4 weighted outer-product
@@ -307,7 +307,16 @@ def average_quaternion_batch_fast(
     overlap with the principal eigenvector whenever the cluster is tighter
     than a hemisphere (the pipeline's retained candidates are); convergence is
     geometric in lambda2/lambda1. Agreement with the exact eigh is asserted in
-    tests/test_so3.py.
+    tests/test_so3.py for unimodal AND imbalanced-bimodal sets.
+
+    Convergence analysis for the pipeline's regimes: for two well-separated
+    modes with weight fractions w1 > w2, lambda2/lambda1 ~ w2/w1, so a 60/40
+    split converges to <1e-6 in ~35 iterations. The only slow case is a near
+    50/50 bimodal split, where lambda1 ~ lambda2 and the chordal mean itself
+    is ill-defined — ANY unit vector in the top eigenspace is an equally
+    (in)valid answer, including the one eigh happens to pick. The default
+    pipeline additionally clusters (DBSCAN) and re-averages the winning mode,
+    so this value only survives when no cluster exists at all.
     """
     B, K, _ = Q.shape
     if weights is None:

@@ -427,3 +427,60 @@ class TestFastEncoder:
             pose_dim=9, regression_head=head, uniform_t=True,
         )(pose, t)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_fast_fus_forward_parity_bf16(self):
+        """bf16-compute config: scale stages run bf16 in BOTH paths; the
+        GroupAll stage must stay f32 in the fast path (the module's GroupAll
+        SharedMLP has no compute dtype)."""
+        from genpose2_tpu.models.fast_encoder import fast_fus_forward
+
+        cfg = TINY.model.pointnet2.__class__(
+            **{**TINY.model.pointnet2.__dict__, "compute_dtype": "bfloat16"}
+        )
+        model = PointNet2ClsMSGFus(cfg)
+        rng = np.random.default_rng(13)
+        pc = jnp.asarray(rng.uniform(-0.5, 0.5, size=(2, 128, 3 + 16)), jnp.float32)
+        vars_ = model.init(
+            {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)}, pc
+        )
+        vars_ = jax.tree_util.tree_map(
+            lambda p: p + jnp.asarray(np.abs(rng.normal(size=p.shape, scale=0.05)), p.dtype),
+            vars_,
+        )
+        ref = np.asarray(model.apply(vars_, pc, False), np.float32)
+        got = np.asarray(
+            fast_fus_forward(
+                {"params": vars_["params"], "batch_stats": vars_["batch_stats"]}, pc, cfg
+            ),
+            np.float32,
+        )
+        # bf16 matmuls: tolerate rounding, catch structural divergence
+        np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+
+    def test_fast_cls_forward_parity_no_xyz(self):
+        """use_xyz=False: the module performs NO centering; the fast path must
+        match (regression: it used to subtract a garbage feature-row term)."""
+        from genpose2_tpu.config import PointNet2Config
+        from genpose2_tpu.models.fast_encoder import fast_cls_forward
+        from genpose2_tpu.models.pointnet2 import PointNet2ClsMSG
+
+        cfg = PointNet2Config(
+            npoints=(16, None),
+            radii=((0.3,), (None,)),
+            nsamples=((8,), (None,)),
+            mlps=(((8, 16),), ((16, 24),)),
+            use_xyz=False,
+        )
+        model = PointNet2ClsMSG(cfg)
+        rng = np.random.default_rng(17)
+        pts = jnp.asarray(rng.uniform(-0.5, 0.5, size=(2, 64, 3 + 6)), jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), pts)
+        vars_ = jax.tree_util.tree_map(
+            lambda p: p + jnp.asarray(np.abs(rng.normal(size=p.shape, scale=0.1)), p.dtype),
+            vars_,
+        )
+        ref = model.apply(vars_, pts, train=False)
+        got = fast_cls_forward(
+            {"params": vars_["params"], "batch_stats": vars_["batch_stats"]}, pts, cfg
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)

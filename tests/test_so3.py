@@ -193,3 +193,29 @@ class TestFastQuaternionAverage:
         # same quaternion up to sign (both sign-fixed to w>0)
         dots = np.abs(np.sum(exact * fast, axis=-1))
         np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+    def test_matches_eigh_on_imbalanced_bimodal(self):
+        """60/40 bimodal candidate sets (surviving symmetry ambiguity):
+        lambda2/lambda1 ~ 2/3, power iteration must still match eigh."""
+        from genpose2_tpu.so3.rotations import (
+            average_quaternion_batch,
+            average_quaternion_batch_fast,
+        )
+
+        rng = np.random.default_rng(8)
+        B, K = 8, 20
+        a = rng.normal(size=(B, 1, 4)); a /= np.linalg.norm(a, axis=-1, keepdims=True)
+        # second mode: 180-deg-rotated partner (orthogonal quaternion)
+        b = rng.normal(size=(B, 1, 4))
+        b -= np.sum(b * a, axis=-1, keepdims=True) * a
+        b /= np.linalg.norm(b, axis=-1, keepdims=True)
+        Q = np.concatenate(
+            [a + rng.normal(size=(B, 12, 4)) * 0.05, b + rng.normal(size=(B, 8, 4)) * 0.05],
+            axis=1,
+        )
+        Q /= np.linalg.norm(Q, axis=-1, keepdims=True)
+        Q = jnp.asarray(Q, jnp.float32)
+        exact = np.asarray(average_quaternion_batch(Q))
+        fast = np.asarray(average_quaternion_batch_fast(Q))
+        dots = np.abs(np.sum(exact * fast, axis=-1))
+        np.testing.assert_allclose(dots, 1.0, atol=1e-4)
