@@ -272,6 +272,23 @@ class PoseAgent:
 
     # ------------------------------------------------------------ train step
     @functools.partial(jax.jit, static_argnums=(0,))
+    def train_steps(self, state: TrainState, batches, key):
+        """Run one optimization step per leading-axis slice of ``batches``
+        inside a single jit program (lax.scan): the optimizer state stays
+        device-resident and host dispatch is amortized — on remote backends
+        the per-call round trip (~30 ms) costs as much as a whole step.
+        ``batches``: pytree stacked on a leading step axis. Returns
+        (state, metrics stacked over steps)."""
+        S = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        keys = jax.random.split(key, S)
+
+        def body(st, xs):
+            b, k = xs
+            return self.train_step(st, b, k)
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    @functools.partial(jax.jit, static_argnums=(0,))
     def train_step(self, state: TrainState, batch, key):
         """One optimization step. batch: dict with 'pts' (zero-centered),
         'zero_mean_gt_pose', optional dino inputs; energy agents additionally

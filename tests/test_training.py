@@ -194,3 +194,49 @@ class TestCheckpoint:
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored.step) == int(state.step)
+
+
+class TestTrainSteps:
+    def test_scan_matches_sequential(self):
+        """train_steps (scanned) == the same train_step calls in a loop."""
+        from genpose2_tpu.config import tiny_test_config
+        from genpose2_tpu.data.synthetic import SyntheticPoseData
+
+        cfg = tiny_test_config()
+        agent = PoseAgent(cfg, "score", steps_per_epoch=10)
+        data = SyntheticPoseData(num_points=cfg.model.num_points)
+        key = jax.random.PRNGKey(0)
+        b0 = data.batch(key, 4)
+        keep = ("pts", "zero_mean_gt_pose", "pts_center")
+        b0 = {k: b0[k] for k in keep}
+        state = agent.init_state(key, b0)
+
+        S = 3
+        batches = [
+            {k: v for k, v in data.batch(jax.random.PRNGKey(i), 4).items() if k in keep}
+            for i in range(S)
+        ]
+        stacked = {k: jnp.stack([b[k] for b in batches]) for k in keep}
+
+        scan_state, scan_metrics = agent.train_steps(state, stacked, jax.random.PRNGKey(5))
+
+        seq_state = state
+        keys = jax.random.split(jax.random.PRNGKey(5), S)
+        seq_losses = []
+        for i in range(S):
+            seq_state, m = agent.train_step(seq_state, batches[i], keys[i])
+            seq_losses.append(float(m["loss"]))
+
+        np.testing.assert_allclose(
+            np.asarray(scan_metrics["loss"]), np.asarray(seq_losses), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(scan_state.step), np.asarray(seq_state.step)
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            ),
+            scan_state.params,
+            seq_state.params,
+        )
