@@ -168,3 +168,66 @@ def save_denoising_video(
     for f in frames:
         vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
     vw.release()
+
+
+def export_mitsuba_xml(
+    pcl: np.ndarray,
+    path: str,
+    image_size: Sequence[int] = (800, 600),
+    sphere_radius: float = 0.015,
+    max_points: int = 4096,
+    camera_origin: Sequence[float] = (2.2, 2.2, 2.2),
+) -> str:
+    """Publication-quality point-cloud render scene: one XML file loadable by
+    ``mitsuba.load_file`` (reference: utils/visualize.py:380-499, the
+    generate_xml_for_mitsuba figure pipeline; mitsuba itself is optional and
+    not a dependency here).
+
+    The cloud is standardized (bbox-centered, unit-diagonal scaled),
+    subsampled to ``max_points``, and emitted as diffuse spheres whose RGB
+    encodes normalized position. Returns the XML string (also written to
+    ``path``)."""
+    pcl = np.asarray(pcl, np.float64)
+    if len(pcl) > max_points:
+        sel = np.random.default_rng(0).choice(len(pcl), max_points, replace=False)
+        pcl = pcl[sel]
+    lo, hi = pcl.min(axis=0), pcl.max(axis=0)
+    center = (lo + hi) / 2.0
+    scale = float(np.linalg.norm(hi - lo)) or 1.0
+    std = (pcl - center) / scale  # fits in [-0.5, 0.5]^3
+    colors = np.clip(std + 0.5, 0.001, 0.999)
+
+    w, h = int(image_size[0]), int(image_size[1])
+    ox, oy, oz = (float(v) for v in camera_origin)
+    parts = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<scene version="3.0.0">',
+        '  <integrator type="path"><integer name="max_depth" value="8"/></integrator>',
+        '  <sensor type="perspective">',
+        '    <float name="fov" value="25"/>',
+        f'    <transform name="to_world"><lookat origin="{ox},{oy},{oz}" '
+        'target="0,0,0" up="0,0,1"/></transform>',
+        '    <sampler type="independent"><integer name="sample_count" value="64"/></sampler>',
+        f'    <film type="hdrfilm"><integer name="width" value="{w}"/>'
+        f'<integer name="height" value="{h}"/></film>',
+        '  </sensor>',
+        '  <emitter type="constant"><rgb name="radiance" value="0.8,0.8,0.8"/></emitter>',
+        '  <shape type="rectangle">',
+        '    <transform name="to_world"><scale value="10"/>'
+        '<translate z="-0.55"/></transform>',
+        '    <bsdf type="diffuse"><rgb name="reflectance" value="0.9,0.9,0.9"/></bsdf>',
+        '  </shape>',
+    ]
+    for p, c in zip(std, colors):
+        parts.append(
+            f'  <shape type="sphere"><point name="center" x="{p[0]:.5f}" '
+            f'y="{p[1]:.5f}" z="{p[2]:.5f}"/><float name="radius" '
+            f'value="{sphere_radius}"/><bsdf type="diffuse">'
+            f'<rgb name="reflectance" value="{c[0]:.3f},{c[1]:.3f},{c[2]:.3f}"/>'
+            "</bsdf></shape>"
+        )
+    parts.append("</scene>")
+    xml = "\n".join(parts)
+    with open(path, "w") as f:
+        f.write(xml)
+    return xml

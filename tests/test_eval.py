@@ -219,3 +219,25 @@ class TestCriterionAndMetrics:
         m2 = compute_metrics(iou, deg, sht, class_labels=np.array([0, 0, 1, 1]))
         assert set(m2.per_class) == {0, 1}
         assert abs(m2.iou_acc[0.25] - 0.75) < 1e-6  # class means here equal overall
+
+
+class TestMitsubaExport:
+    def test_scene_xml_wellformed(self, tmp_path):
+        """Mitsuba scene export: valid XML, standardized cloud, one sphere per
+        point (reference: utils/visualize.py:380-499)."""
+        import xml.etree.ElementTree as ET
+
+        from genpose2_tpu.utils.visualize import export_mitsuba_xml
+
+        rng = np.random.default_rng(0)
+        pcl = rng.normal(size=(200, 3)) * 0.1 + np.array([0.0, 0.0, 0.6])
+        path = str(tmp_path / "scene.xml")
+        xml = export_mitsuba_xml(pcl, path, max_points=128)
+        root = ET.parse(path).getroot()
+        spheres = [s for s in root.iter("shape") if s.get("type") == "sphere"]
+        assert len(spheres) == 128
+        # standardized coordinates stay within the unit box
+        for s in spheres[:5]:
+            pt = s.find("point")
+            assert abs(float(pt.get("x"))) <= 0.5 + 1e-6
+        assert xml.startswith("<?xml")
