@@ -53,21 +53,21 @@ class GenPose2TPU:
         dummy = self._dummy_batch()
         self.score_state = self.score_agent.init_state(key, dummy)
         if score_ckpt:
-            self.score_state = load_params_only(score_ckpt, self.score_state)
+            self.score_state = load_params_only(score_ckpt, self.score_state, cfg=self.cfg, agent_type="score")
 
         self.energy_agent = self.energy_state = None
         if energy_ckpt is not None:
             self.energy_agent = PoseAgent(self.cfg, "energy")
             self.energy_state = self.energy_agent.init_state(key, dummy)
             if isinstance(energy_ckpt, str):
-                self.energy_state = load_params_only(energy_ckpt, self.energy_state)
+                self.energy_state = load_params_only(energy_ckpt, self.energy_state, cfg=self.cfg, agent_type="energy")
 
         self.scale_agent = self.scale_state = None
         if scale_ckpt is not None:
             self.scale_agent = ScaleAgent(self.cfg)
             self.scale_state = self.scale_agent.init_state(key)
             if isinstance(scale_ckpt, str):
-                self.scale_state = load_params_only(scale_ckpt, self.scale_state)
+                self.scale_state = load_params_only(scale_ckpt, self.scale_state, cfg=self.cfg)
 
     def _dummy_batch(self):
         m = self.cfg.model

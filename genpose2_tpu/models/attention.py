@@ -33,7 +33,10 @@ class EfficientRelativePositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, xyz):
-        rel = xyz[:, :, None, :] - xyz[:, None, :, :]  # (B, N, N, 3)
+        # rel[b, i, j] = xyz[b, j] - xyz[b, i] (reference: attention.py:707,
+        # xyz.unsqueeze(1) - xyz.unsqueeze(2)); direction sign/orientation
+        # matters for torch-weight ingestion parity
+        rel = xyz[:, None, :, :] - xyz[:, :, None, :]  # (B, N, N, 3)
         dist = jnp.linalg.norm(rel, axis=-1, keepdims=True)
         direction = rel / (dist + 1e-7)
 

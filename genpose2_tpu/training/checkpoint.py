@@ -10,6 +10,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from genpose2_tpu.training.agent import TrainState
@@ -35,12 +36,29 @@ def load_checkpoint(path: str, target: TrainState) -> TrainState:
         return ckptr.restore(path, abstract)
 
 
-def load_params_only(path: str, target: TrainState, use_ema_as_params: bool = False) -> TrainState:
+def is_torch_checkpoint(path: str) -> bool:
+    return path.endswith((".pth", ".pt", ".pth.tar", ".pt.tar"))
+
+
+def load_params_only(
+    path: str,
+    target: TrainState,
+    use_ema_as_params: bool = False,
+    cfg=None,
+    agent_type: str = "score",
+) -> TrainState:
     """Model-weights-only restore (reference ``load_model_only`` flag,
     posenet_agent.py:171-203): keeps the target's optimizer/step, takes
     params/EMA/batch_stats/constants from the checkpoint. With
     ``use_ema_as_params`` the restored EMA weights become the live params
-    (the reference folds EMA into saved weights at save time)."""
+    (the reference folds EMA into saved weights at save time).
+
+    A ``.pth``/``.pt`` path is treated as a REFERENCE torch checkpoint and
+    converted via training/torch_ingest.py — pass ``cfg`` (a Config or
+    ModelConfig) for GFObjectPose checkpoints; ScaleNet torch checkpoints are
+    detected by their key space and need no cfg."""
+    if is_torch_checkpoint(path):
+        return load_torch_params_only(path, target, cfg, agent_type)
     restored = load_checkpoint(path, target)
     params = restored.ema_params if use_ema_as_params else restored.params
     return target.replace(
@@ -48,4 +66,33 @@ def load_params_only(path: str, target: TrainState, use_ema_as_params: bool = Fa
         ema_params=restored.ema_params,
         batch_stats=restored.batch_stats,
         constants=restored.constants,
+    )
+
+
+def load_torch_params_only(
+    path: str, target: TrainState, cfg=None, agent_type: str = "score"
+) -> TrainState:
+    """Convert a reference torch checkpoint into ``target``'s weight slots.
+    The torch dict holds ONE copy of the weights (the reference folds EMA in
+    at save time, posenet_agent.py:150-156), so params and ema_params both get
+    the converted tree."""
+    import torch
+
+    from genpose2_tpu.training import torch_ingest
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt)
+    if any(k.startswith("fusion_tail_length.") for k in sd):
+        vs = torch_ingest.convert_scalenet_state_dict(sd)
+    else:
+        if cfg is None:
+            raise ValueError("GFObjectPose torch checkpoints need cfg for conversion")
+        model_cfg = getattr(cfg, "model", cfg)
+        vs, _ = torch_ingest.convert_posenet_state_dict(sd, model_cfg, agent_type)
+    params = jax.tree.map(jnp.asarray, vs["params"])
+    return target.replace(
+        params=params,
+        ema_params=params,
+        batch_stats=jax.tree.map(jnp.asarray, vs.get("batch_stats", target.batch_stats)),
+        constants=jax.tree.map(jnp.asarray, vs.get("constants", target.constants)),
     )

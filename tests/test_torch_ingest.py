@@ -1,0 +1,490 @@
+"""Torch-checkpoint ingestion parity: run the reference's own torch modules
+(CPU) with random weights, convert the state dicts with
+training/torch_ingest.py, and assert this framework's modules reproduce the
+torch outputs bit-for-bit (float32 tolerance).
+
+Covers: PoseScoreNet (all 3 heads), PoseEnergyNet, ScaleNet, ImgEncoder,
+EfficientRelativePositionalEncoding + TransformerBlockWithRelativePE,
+GatedAttentionFusion, PointnetSAModuleMSG (via a CPU emulation of its CUDA
+grouping using this repo's exact-semantics ops), the full
+pointnet-encoder GFObjectPose numerically, and the full Fus-encoder
+GFObjectPose structurally (key set + shapes).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+
+import jax
+import jax.numpy as jnp
+
+from genpose2_tpu.diffusion import init_sde
+from genpose2_tpu.training import torch_ingest as ing
+
+SDE = init_sde("ve")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference's torch modules with CUDA/debugger deps stubbed."""
+    import torch  # noqa: F401
+
+    for name in ("ipdb", "pointnet2_cuda"):
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            stub.set_trace = lambda *a, **k: None
+            sys.modules[name] = stub
+
+    class _AnyModule(types.ModuleType):
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return type(name, (), {})
+
+    for name in ("cutoop", "cutoop.data_types", "cutoop.eval_utils", "cutoop.rotation"):
+        if name not in sys.modules:
+            sys.modules[name] = _AnyModule(name)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+    argv = sys.argv
+    sys.argv = ["test"]  # configs/config.py parses argv at import
+    try:
+        import importlib
+
+        mods = {}
+        mods["scorenet"] = importlib.import_module("networks.gf_algorithms.scorenet")
+        mods["energynet"] = importlib.import_module("networks.gf_algorithms.energynet")
+        mods["scalenet"] = importlib.import_module("networks.scalenet")
+        mods["img_encoder"] = importlib.import_module("networks.img_encoder.img_encoder")
+        mods["attention"] = importlib.import_module("networks.pts_encoder.attention")
+        mods["pointnets"] = importlib.import_module("networks.pts_encoder.pointnets")
+        mods["sa"] = importlib.import_module(
+            "networks.pts_encoder.pointnet2_utils.pointnet2.pointnet2_modules"
+        )
+    finally:
+        sys.argv = argv
+    return mods
+
+
+def torch_marginal():
+    """torch (x, t) -> (None, std) matching our VE sde exactly."""
+    import torch
+
+    def fn(x, t):
+        std_np = np.asarray(SDE.marginal_std(jnp.asarray(t.detach().numpy())))
+        return None, torch.from_numpy(std_np).to(t.dtype)
+
+    return fn
+
+
+def randomize(module, seed=0):
+    """Randomize every param (incl. zero-inited heads) and BN running stats."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+        for b in module.buffers():
+            if b.dtype.is_floating_point:
+                b.copy_(torch.rand(b.shape, generator=g) * 0.5 + 0.5)
+    module.eval()
+    return module
+
+
+def sd_np(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+# --------------------------------------------------------------------- heads
+@pytest.mark.parametrize("head", ["RT", "R_and_T", "Rx_Ry_and_T"])
+@pytest.mark.parametrize("dino_dim", [0, 16])
+def test_scorenet_ingest(ref, head, dino_dim):
+    import torch
+
+    from genpose2_tpu.models.scorenet import PoseScoreNet
+
+    tnet = randomize(
+        ref["scorenet"].PoseScoreNet(
+            torch_marginal(), dino_dim, pose_mode="rot_matrix", regression_head=head
+        ),
+        seed=1,
+    )
+    B = 4
+    rng = np.random.default_rng(0)
+    pts_feat = rng.normal(size=(B, 1024)).astype(np.float32)
+    rgb_feat = rng.normal(size=(B, dino_dim)).astype(np.float32) if dino_dim else None
+    pose = rng.normal(size=(B, 9)).astype(np.float32)
+    t = rng.uniform(0.1, 0.9, size=(B, 1)).astype(np.float32)
+
+    data = {"pts_feat": torch.from_numpy(pts_feat), "sampled_pose": torch.from_numpy(pose),
+            "t": torch.from_numpy(t)}
+    if dino_dim:
+        data["rgb_feat"] = torch.from_numpy(rgb_feat)
+    with torch.no_grad():
+        want = tnet(data).numpy()
+
+    vs = ing.convert_scorenet_state_dict(sd_np(tnet), head)
+    ours = PoseScoreNet(SDE.marginal_std, 9, head, dino_dim)
+    got = ours.apply(
+        vs, jnp.asarray(pts_feat), jnp.asarray(rgb_feat) if dino_dim else None,
+        jnp.asarray(pose), jnp.asarray(t),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_energynet_ingest(ref):
+    import torch
+
+    from genpose2_tpu.models.energynet import PoseEnergyNet
+
+    tnet = randomize(
+        ref["energynet"].PoseEnergyNet(
+            torch_marginal(), 0, pose_mode="rot_matrix", regression_head="Rx_Ry_and_T",
+            device="cpu", energy_mode="IP", s_theta_mode="score", norm_energy="identical",
+        ),
+        seed=2,
+    )
+    B = 4
+    rng = np.random.default_rng(1)
+    pts_feat = rng.normal(size=(B, 1024)).astype(np.float32)
+    pose = rng.normal(size=(B, 9)).astype(np.float32)
+    t = rng.uniform(0.1, 0.9, size=(B, 1)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet.get_energy(
+            torch.from_numpy(pts_feat), None, torch.from_numpy(pose),
+            torch.from_numpy(t), decoupled_rt=True,
+        ).numpy()
+
+    vs = ing.convert_scorenet_state_dict(sd_np(tnet), "Rx_Ry_and_T")
+    ours = PoseEnergyNet(SDE.marginal_std, 9, "Rx_Ry_and_T", 0, "IP", "score", "identical")
+    got = ours.apply(vs, jnp.asarray(pts_feat), None, jnp.asarray(pose), jnp.asarray(t), True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_scalenet_ingest(ref):
+    import torch
+
+    from genpose2_tpu.models.scalenet import ScaleNet
+
+    tnet = randomize(ref["scalenet"].ScaleNet(pts_dim=64, dino_dim=0, embedding_dim=36), seed=3)
+    B = 4
+    rng = np.random.default_rng(2)
+    pts_feat = rng.normal(size=(B, 64)).astype(np.float32)
+    axes = rng.normal(size=(B, 3, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet({"pts_feat": torch.from_numpy(pts_feat), "axes": torch.from_numpy(axes)}).numpy()
+
+    vs = ing.convert_scalenet_state_dict(sd_np(tnet))
+    got = ScaleNet(embedding_dim=36, dino_dim=0).apply(vs, jnp.asarray(pts_feat), jnp.asarray(axes))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_img_encoder_ingest(ref):
+    import torch
+
+    from genpose2_tpu.models.img_encoder import ImgEncoder
+
+    D, P = 8, 16
+    tnet = randomize(ref["img_encoder"].ImgEncoder(D, P, 16), seed=4)
+    B, L = 2, 3
+    rng = np.random.default_rng(3)
+    feats = [rng.normal(size=(B, P, D)).astype(np.float32) for _ in range(L)]
+    with torch.no_grad():
+        want = tnet([torch.from_numpy(f) for f in feats]).numpy()
+
+    vs = ing.convert_img_encoder_state_dict(sd_np(tnet))
+    got = ImgEncoder(D, P).apply(vs, [jnp.asarray(f) for f in feats])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+# ----------------------------------------------------------------- attention
+def test_transformer_block_ingest(ref):
+    import torch
+
+    from genpose2_tpu.models.attention import (
+        EfficientRelativePositionalEncoding,
+        TransformerBlockWithRelativePE,
+    )
+
+    C, H, B, N = 32, 8, 2, 10
+    tpe = randomize(ref["attention"].EfficientRelativePositionalEncoding(C, num_heads=H), seed=5)
+    ttb = randomize(ref["attention"].TransformerBlockWithRelativePE(C, num_heads=H, dropout=0.0), seed=6)
+
+    rng = np.random.default_rng(4)
+    xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
+    x = rng.normal(size=(B, N, C)).astype(np.float32)
+    with torch.no_grad():
+        bias = tpe(torch.from_numpy(xyz))
+        # reference block takes channels-first (B, C, N) and transposes inside
+        want = ttb(torch.from_numpy(np.swapaxes(x, 1, 2)), relative_bias=bias)
+        want = np.swapaxes(want.numpy(), 1, 2)
+
+    t = ing._Tree()
+    ing._convert_relative_pe(t, sd_np(tpe), "", "pe")
+    ing._convert_transformer_block(t, sd_np(ttb), "", "tb")
+    vs = t.variables()
+    bias_j = EfficientRelativePositionalEncoding(H).apply(
+        {"params": vs["params"]["pe"]}, jnp.asarray(xyz)
+    )
+    np.testing.assert_allclose(np.asarray(bias_j), bias.numpy(), rtol=2e-4, atol=2e-5)
+    got = TransformerBlockWithRelativePE(C, H, 0.0).apply(
+        {"params": vs["params"]["tb"]}, jnp.asarray(x), bias_j, True
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+def test_gated_fusion_ingest(ref):
+    import torch
+
+    from genpose2_tpu.models.attention import GatedAttentionFusion
+
+    C_cur, C_orig, B, N = 16, 8, 2, 12
+    tnet = randomize(ref["attention"].GatedAttentionFusion(C_cur, C_orig), seed=7)
+    rng = np.random.default_rng(5)
+    cur = rng.normal(size=(B, N, C_cur)).astype(np.float32)
+    orig = rng.normal(size=(B, N, C_orig)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(
+            torch.from_numpy(np.swapaxes(cur, 1, 2)), torch.from_numpy(np.swapaxes(orig, 1, 2))
+        ).numpy()
+    want = np.swapaxes(want, 1, 2)
+
+    t = ing._Tree()
+    ing._convert_gated_fusion(t, sd_np(tnet), "", "gf")
+    vs = t.variables()
+    got = GatedAttentionFusion(C_cur).apply(
+        {"params": vs["params"]["gf"], "batch_stats": vs["batch_stats"]["gf"]},
+        jnp.asarray(cur), jnp.asarray(orig), False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+# ------------------------------------------------------------------ SA module
+def test_sa_module_ingest(ref):
+    """The torch SA forward needs CUDA; emulate its grouping with this repo's
+    exact-semantics ops (oracle-tested vs the CUDA kernels), then run the
+    reference's own torch SharedMLPs on the grouped tensor."""
+    import torch
+
+    from genpose2_tpu.models.pointnet2 import SetAbstractionMSG
+    from genpose2_tpu.ops import ball_query, furthest_point_sample, gather_points
+
+    B, N, C = 2, 64, 8
+    npoint, radii, nsamples = 16, [0.3, 0.6], [8, 16]
+    widths = [[8, 16], [8, 16]]
+    tsa = randomize(
+        ref["sa"].PointnetSAModuleMSG(
+            npoint=npoint, radii=radii, nsamples=nsamples,
+            mlps=[[C] + w for w in widths], use_xyz=True, bn=True,
+        ),
+        seed=8,
+    )
+    rng = np.random.default_rng(6)
+    xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
+    feats = rng.normal(size=(B, N, C)).astype(np.float32)
+
+    idx = np.asarray(furthest_point_sample(jnp.asarray(xyz), npoint))
+    new_xyz = np.asarray(gather_points(jnp.asarray(xyz), jnp.asarray(idx)))
+    outs = []
+    with torch.no_grad():
+        for s, (r, ns) in enumerate(zip(radii, nsamples)):
+            gidx = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), r, ns))
+            bidx = np.arange(B)[:, None, None]
+            g_xyz = xyz[bidx, gidx] - new_xyz[:, :, None, :]  # (B, np, ns, 3)
+            g_f = feats[bidx, gidx]  # (B, np, ns, C)
+            grouped = np.concatenate([g_xyz, g_f], axis=-1)  # (B, np, ns, 3+C)
+            # torch layout (B, C, npoint, nsample)
+            tg = torch.from_numpy(grouped.transpose(0, 3, 1, 2))
+            out = tsa.mlps[s](tg)  # (B, C_out, npoint, nsample)
+            outs.append(out.max(dim=3).values.numpy().transpose(0, 2, 1))
+    want = np.concatenate(outs, axis=-1)  # (B, npoint, sum C_out)
+
+    t = ing._Tree()
+    ing._convert_sa_module(t, sd_np(tsa), "", "sa", grouped=True)
+    vs = t.variables()
+    ours = SetAbstractionMSG(npoint=npoint, radii=radii, nsamples=nsamples, mlps=widths)
+    _, got, _ = ours.apply(
+        {"params": vs["params"]["sa"], "batch_stats": vs["batch_stats"]["sa"]},
+        jnp.asarray(xyz), jnp.asarray(feats), False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+# --------------------------------------------------------------- full posenet
+def test_full_posenet_pointnet_ingest(ref):
+    """End-to-end numeric: GFObjectPose with the (pure-torch, CPU-runnable)
+    PointNet encoder — reference pts_feat + score vs ours from converted
+    weights."""
+    import dataclasses
+
+    import torch
+
+    from genpose2_tpu.config import default_config
+    from genpose2_tpu.models.posenet import GFObjectPose
+
+    tenc = randomize(
+        ref["pointnets"].PointNetfeat(num_points=32, global_feat=True, in_dim=3, out_dim=1024),
+        seed=9,
+    )
+    tscore = randomize(
+        ref["scorenet"].PoseScoreNet(
+            torch_marginal(), 0, pose_mode="rot_matrix", regression_head="Rx_Ry_and_T"
+        ),
+        seed=10,
+    )
+    sd = {f"pts_encoder.{k}": v for k, v in sd_np(tenc).items()}
+    sd.update({f"pose_score_net.{k}": v for k, v in sd_np(tscore).items()})
+
+    B, N = 2, 32
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32)
+    pose = rng.normal(size=(B, 9)).astype(np.float32)
+    tt = rng.uniform(0.1, 0.9, size=(B, 1)).astype(np.float32)
+    with torch.no_grad():
+        pts_feat = tenc(torch.from_numpy(pts.transpose(0, 2, 1)))
+        want = tscore(
+            {"pts_feat": pts_feat, "sampled_pose": torch.from_numpy(pose),
+             "t": torch.from_numpy(tt)}
+        ).numpy()
+
+    cfg = dataclasses.replace(default_config().model, pts_encoder="pointnet", dino="none")
+    vs, dino_sd = ing.convert_posenet_state_dict(sd, cfg, "score")
+    assert dino_sd is None
+    model = GFObjectPose(cfg, SDE.marginal_std, "score")
+    got = model.apply(
+        vs, {"pts": jnp.asarray(pts), "sampled_pose": jnp.asarray(pose), "t": jnp.asarray(tt)}
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+def test_load_params_only_torch_path(ref, tmp_path):
+    """Public entry: a reference-format .pth on disk loads through
+    training.checkpoint.load_params_only into an agent TrainState."""
+    import dataclasses
+
+    import torch
+
+    from genpose2_tpu.config import default_config
+    from genpose2_tpu.training.agent import PoseAgent
+    from genpose2_tpu.training.checkpoint import load_params_only
+
+    tenc = randomize(
+        ref["pointnets"].PointNetfeat(num_points=32, global_feat=True, in_dim=3, out_dim=1024),
+        seed=11,
+    )
+    tscore = randomize(
+        ref["scorenet"].PoseScoreNet(
+            torch_marginal(), 0, pose_mode="rot_matrix", regression_head="Rx_Ry_and_T"
+        ),
+        seed=12,
+    )
+    sd = {f"pts_encoder.{k}": v for k, v in tenc.state_dict().items()}
+    sd.update({f"pose_score_net.{k}": v for k, v in tscore.state_dict().items()})
+    path = str(tmp_path / "ref_score.pth")
+    torch.save({"model_state_dict": sd, "epoch": 7}, path)
+
+    cfg = dataclasses.replace(default_config(), model=dataclasses.replace(
+        default_config().model, pts_encoder="pointnet", dino="none"))
+    agent = PoseAgent(cfg, "score")
+    B, N = 2, 32
+    rng = np.random.default_rng(8)
+    batch = {"pts": jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32)),
+             "zero_mean_gt_pose": jnp.zeros((B, 9)), "pts_center": jnp.zeros((B, 3))}
+    state = agent.init_state(jax.random.PRNGKey(0), batch)
+    state = load_params_only(path, state, use_ema_as_params=True, cfg=cfg, agent_type="score")
+
+    pose = rng.normal(size=(B, 9)).astype(np.float32)
+    tt = rng.uniform(0.1, 0.9, size=(B, 1)).astype(np.float32)
+    with torch.no_grad():
+        pts_feat = tenc(torch.from_numpy(np.asarray(batch["pts"]).transpose(0, 2, 1)))
+        want = tscore({"pts_feat": pts_feat, "sampled_pose": torch.from_numpy(pose),
+                       "t": torch.from_numpy(tt)}).numpy()
+    pf, rf = agent.extract_features(state, batch, use_ema=True)
+    sfn = agent.score_fn(state, pf, rf, use_ema=True)
+    got = sfn(jnp.asarray(pose), jnp.asarray(tt))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+def test_full_posenet_fus_structure(ref):
+    """Full Fus-encoder conversion: synthesize the exact torch state-dict key
+    space from the reference's own submodules (nn.ModuleList prefixes are
+    deterministic) and check the converted tree matches our init tree in KEY
+    SET and SHAPES (forward needs CUDA there; numerics are covered per-module
+    above)."""
+    import dataclasses
+
+    from genpose2_tpu.config import PointNet2Config, default_config
+    from genpose2_tpu.models.posenet import GFObjectPose
+
+    dino_dim = 8
+    tiny = PointNet2Config(
+        npoints=(8, 4, None),
+        radii=((0.3, 0.6), (0.6, 1.2), (None, None)),
+        nsamples=((4, 8), (4, 8), (None, None)),
+        mlps=(((16, 16, 32), (32, 32, 64)), ((64, 64, 128), (64, 96, 128)),
+              ((512, 512), (512, 512))),
+    )
+    cfg = dataclasses.replace(
+        default_config().model, pointnet2=tiny, dino_dim=dino_dim, img_size=64, patch_size=16
+    )
+
+    sd = {}
+    channel_in = dino_dim
+    out_channels = [sum(m[-1] for m in stage) for stage in tiny.mlps]
+    for k, npoint in enumerate(tiny.npoints):
+        mlps = [[channel_in] + list(w) for w in tiny.mlps[k]]
+        tsa = ref["sa"].PointnetSAModuleMSG(
+            npoint=npoint, radii=list(tiny.radii[k]), nsamples=list(tiny.nsamples[k]),
+            mlps=mlps, use_xyz=True, bn=True,
+        )
+        sd.update({f"pts_encoder.SA_modules.{k}.{n}": v for n, v in sd_np(tsa).items()})
+        tpe = ref["attention"].EfficientRelativePositionalEncoding(out_channels[k], num_heads=8)
+        sd.update({f"pts_encoder.relative_pos_encoders.{k}.{n}": v for n, v in sd_np(tpe).items()})
+        ttb = ref["attention"].TransformerBlockWithRelativePE(out_channels[k], num_heads=8)
+        sd.update({f"pts_encoder.transformer_blocks.{k}.{n}": v for n, v in sd_np(ttb).items()})
+        if k > 0:
+            tgf = ref["attention"].GatedAttentionFusion(out_channels[k - 1], dino_dim)
+            sd.update({f"pts_encoder.feature_fusions.{k-1}.{n}": v for n, v in sd_np(tgf).items()})
+        channel_in = out_channels[k]
+
+    timg = ref["img_encoder"].ImgEncoder(dino_dim, 16, 16)
+    sd.update({f"img_encoder.{n}": v for n, v in sd_np(timg).items()})
+    tscore = ref["scorenet"].PoseScoreNet(
+        torch_marginal(), 0, pose_mode="rot_matrix", regression_head="Rx_Ry_and_T"
+    )
+    sd.update({f"pose_score_net.{n}": v for n, v in sd_np(tscore).items()})
+
+    vs, _ = ing.convert_posenet_state_dict(sd, cfg, "score")
+
+    model = GFObjectPose(cfg, SDE.marginal_std, "score")
+    B, N, P = 1, 16, 16
+    data = dict(
+        pts=jnp.zeros((B, N, 3)),
+        dino_layers=[jnp.zeros((B, P, dino_dim))] * 3,
+        roi_xs=jnp.zeros((B, N)), roi_ys=jnp.zeros((B, N)),
+        sampled_pose=jnp.zeros((B, 9)), t=jnp.ones((B, 1)) * 0.5,
+    )
+    want_vs = model.init({"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1)}, data)
+
+    from flax.traverse_util import flatten_dict
+
+    got_flat = {k: v.shape for k, v in flatten_dict(vs, sep="/").items()}
+    want_flat = {k: v.shape for k, v in flatten_dict({c: dict(want_vs[c]) for c in want_vs}, sep="/").items()}
+    missing = sorted(set(want_flat) - set(got_flat))
+    extra = sorted(set(got_flat) - set(want_flat))
+    assert not missing, f"converted tree missing keys: {missing[:10]}"
+    assert not extra, f"converted tree has extra keys: {extra[:10]}"
+    mismatched = {k: (got_flat[k], want_flat[k]) for k in want_flat if got_flat[k] != want_flat[k]}
+    assert not mismatched, f"shape mismatches: {mismatched}"
+
+    # the converted tree must actually run
+    out = model.apply(vs, data)
+    assert np.asarray(out).shape == (B, 9)
