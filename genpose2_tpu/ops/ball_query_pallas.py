@@ -134,3 +134,61 @@ def ball_query_pallas(
         interpret=jax.default_backend() == "cpu",
     )(x, y, z, cx, cy, cz)
     return out[:B, :M]
+
+
+def _ball_count_kernel(x_ref, y_ref, z_ref, cx_ref, cy_ref, cz_ref, out_ref, *, radius, n_valid):
+    RB, N = x_ref.shape
+    x = x_ref[:, :][:, None, :]
+    y = y_ref[:, :][:, None, :]
+    z = z_ref[:, :][:, None, :]
+    cx = cx_ref[:, :][:, :, None]
+    cy = cy_ref[:, :][:, :, None]
+    cz = cz_ref[:, :][:, :, None]
+    d2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2  # (RB, TM, N)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, dimension=2)
+    hit = (d2 < radius * radius) & (lane < n_valid)
+    out_ref[:, :] = jnp.sum(hit.astype(jnp.float32), axis=2).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def ball_count(
+    xyz: jnp.ndarray, new_xyz: jnp.ndarray, radius: float, row_tile: int = 128
+):
+    """Number of in-radius points per centroid: xyz (B, N, 3), new_xyz
+    (B, M, 3) -> (B, M) int32. Used by the eval fast path to ORDER centroids
+    by hit density so the fused SA kernel's dynamic chunk skip fires
+    per-tile (a pure performance permutation; results are centroid-order
+    independent)."""
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    xyz = jax.lax.stop_gradient(xyz).astype(jnp.float32)
+    new_xyz = jax.lax.stop_gradient(new_xyz).astype(jnp.float32)
+
+    TM = min(row_tile, M)
+    if TM % 128 != 0 and TM != M:
+        TM = M if M < 128 else 128
+    Bp = ((B + _RB - 1) // _RB) * _RB
+    Mp = ((M + TM - 1) // TM) * TM
+    Np = ((N + 127) // 128) * 128
+    if Bp != B:
+        xyz = jnp.pad(xyz, ((0, Bp - B), (0, 0), (0, 0)))
+        new_xyz = jnp.pad(new_xyz, ((0, Bp - B), (0, 0), (0, 0)))
+    if Mp != M:
+        new_xyz = jnp.pad(new_xyz, ((0, 0), (0, Mp - M), (0, 0)))
+    if Np != N:
+        xyz = jnp.pad(xyz, ((0, 0), (0, Np - N), (0, 0)), constant_values=1e9)
+
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    cx, cy, cz = new_xyz[..., 0], new_xyz[..., 1], new_xyz[..., 2]
+    grid = (Bp // _RB, Mp // TM)
+    pts_spec = pl.BlockSpec((_RB, Np), lambda b, m: (b, 0), memory_space=pltpu.VMEM)
+    ctr_spec = pl.BlockSpec((_RB, TM), lambda b, m: (b, m), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ball_count_kernel, radius=radius, n_valid=N),
+        grid=grid,
+        in_specs=[pts_spec, pts_spec, pts_spec, ctr_spec, ctr_spec, ctr_spec],
+        out_specs=ctr_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, Mp), jnp.int32),
+        interpret=jax.default_backend() == "cpu",
+    )(x, y, z, cx, cy, cz)
+    return out[:B, :M]

@@ -1,7 +1,11 @@
-"""Stage-level timing of the eval pipeline on the real chip.
+"""Stage-level steady-state timing of the eval pipeline on the real chip.
 
-Splits bench.py's jitted program into encoder / ODE / aggregation to target
-kernel work (ROADMAP item 2). Not a CI artifact — a profiling utility.
+Splits bench.py's workload into encoder / ODE / aggregation stages, chaining
+each stage ``reps`` times inside ONE jitted scan with a data dependency
+between iterations (identical technique to bench.py: per-call dispatch on
+this backend costs ~30-50 ms, so per-call timing is meaningless) and fencing
+once with a scalar D2H read. Not a CI artifact — a profiling utility for
+ROADMAP item 2.
 """
 
 import time
@@ -14,25 +18,33 @@ from genpose2_tpu.data.synthetic import SyntheticPoseData
 from genpose2_tpu.eval import aggregate_candidates
 from genpose2_tpu.training import PoseAgent
 
-
-def _materialize(out):
-    # on remote backends block_until_ready can resolve before execution
-    # completes; a scalar D2H read is the reliable fence (see bench.py)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(jnp.asarray(leaf).reshape(-1)[0])
+REPS = 20
 
 
-def timed(fn, *args, reps=10):
-    out = fn(*args)
-    _materialize(out)
+def steady(fn_once, *args):
+    """Time REPS data-dependent iterations of fn_once inside one jit."""
+
+    @jax.jit
+    def loop(*a):
+        def body(carry, k):
+            out = fn_once(carry, k, *a)
+            return out, None
+
+        leaf0 = fn_once(jnp.float32(0.0), jnp.int32(0), *a)
+        carry, _ = jax.lax.scan(body, leaf0, jnp.arange(REPS))
+        return carry
+
+    out = loop(*args)
+    float(jnp.asarray(out).reshape(-1)[0])  # compile+fence
     start = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-        _materialize(out)
-    return (time.perf_counter() - start) / reps, out
+    out = loop(*args)
+    float(jnp.asarray(out).reshape(-1)[0])
+    return (time.perf_counter() - start) / REPS
 
 
 def main():
+    import sys
+    stages = set(sys.argv[1:]) or {"enc", "ode", "agg"}
     cfg = default_config().replace(
         model=ModelConfig(dino="none", pointnet2=PointNet2Config(compute_dtype="bfloat16"))
     )
@@ -44,29 +56,61 @@ def main():
     batch = {k: batch[k] for k in ("pts", "zero_mean_gt_pose", "pts_center")}
     state = agent.init_state(key, batch)
 
-    enc = jax.jit(lambda s, b: agent.extract_features(s, b))
-    t_enc, feats = timed(enc, state, batch)
-    print(f"encoder:      {t_enc*1e3:8.2f} ms  ({B} objs)")
+    # --- encoder: perturb the input by the previous output's first scalar
+    def enc_once(carry, k, st, b):
+        bb = dict(b)
+        bb["pts"] = b["pts"] + 0.0 * carry
+        pts_feat, _ = agent.extract_features(st, bb)
+        return pts_feat[0, 0]
 
+    t_enc = 0.0
+    if "enc" in stages:
+        t_enc = steady(enc_once, state, batch)
+        print(f"encoder:      {t_enc*1e3:8.2f} ms  ({B} objs)", flush=True)
+
+    # --- ODE sampling given fixed features
+    pts_feat, rgb_feat = jax.jit(lambda s, b: agent.extract_features(s, b))(state, batch)
+
+    def ode_once(carry, k, st, pf):
+        pf = pf + 0.0 * carry
+        sfn = agent.score_fn(st, jnp.repeat(pf, K, axis=0), None)
+        from genpose2_tpu.diffusion import samplers
+
+        x = samplers.ode_sampler(
+            jax.random.fold_in(key, k), sfn, agent.sde, B * K, 9,
+            T0=0.55, method="fixed", num_steps=50,
+        )
+        return jnp.asarray(x)[0, 0] if not isinstance(x, tuple) else jnp.asarray(x[0])[0, 0]
+
+    t_ode = 0.0
+    if "ode" in stages:
+        t_ode = steady(ode_once, state, pts_feat)
+        print(f"ODE (50-step RK4, {B*K} cands): {t_ode*1e3:8.2f} ms", flush=True)
+
+    # --- aggregation
     sample = jax.jit(
         lambda s, b, k: agent.sample_candidates(
             s, b, k, repeat_num=K, T0=0.55, method="fixed", num_steps=50
         )
     )
-    t_all, poses = timed(sample, state, batch, key)
-    print(f"enc+ODE:      {t_all*1e3:8.2f} ms  -> ODE ~{(t_all-t_enc)*1e3:.2f} ms")
+    poses = sample(state, batch, key)
 
-    agg = jax.jit(
-        lambda p: aggregate_candidates(
+    def agg_once(carry, k, p):
+        p = p + 0.0 * carry
+        out = aggregate_candidates(
             p, None, retain_ratio=cfg.eval.retain_ratio,
             clustering=cfg.eval.clustering, eps=cfg.eval.clustering_eps,
             minpts_ratio=cfg.eval.clustering_minpts_ratio,
         )
-    )
-    t_agg, _ = timed(agg, poses)
-    print(f"aggregation:  {t_agg*1e3:8.2f} ms")
-    total = t_all + t_agg
-    print(f"total:        {total*1e3:8.2f} ms = {B*K/total:.0f} cand/s")
+        return out["rotation"][0, 0, 0]
+
+    t_agg = 0.0
+    if "agg" in stages:
+        t_agg = steady(agg_once, poses)
+        print(f"aggregation:  {t_agg*1e3:8.2f} ms", flush=True)
+
+    total = t_enc + t_ode + t_agg
+    print(f"total:        {total*1e3:8.2f} ms = {B*K/total:.0f} cand/s", flush=True)
 
 
 if __name__ == "__main__":
