@@ -127,6 +127,9 @@ class ModelConfig:
     norm_energy: str = "identical"  # 'identical' | 'std' | 'minus'
     # ScaleNet (reference: networks/scalenet.py:12-31, configs/config.py:41)
     scale_embedding: int = 180
+    # sampler fast-path matmul dtype ('float32' | 'bfloat16'); see
+    # models/scorenet.py:make_fast_score_fn
+    score_dtype: str = "float32"
 
     @property
     def pose_dim(self) -> int:

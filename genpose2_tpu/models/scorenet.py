@@ -66,6 +66,7 @@ def make_fast_score_fn(
     pose_dim: int = 9,
     regression_head: str = "Rx_Ry_and_T",
     uniform_t: bool = False,
+    compute_dtype: str = "float32",
 ):
     """Sampler fast path: an (x, t) -> score closure algebraically equal to
     ``PoseScoreNet.__call__`` but restructured for the ODE loop.
@@ -123,6 +124,19 @@ def make_fast_score_fn(
     W1_t = W1_dyn[:128]
     W1_pose = W1_dyn[128:]
 
+    # per-evaluation matmul compute dtype: bf16 halves the ODE loop's MXU
+    # time; the hoisted static part, the t embedding, biases, activations and
+    # the final 1/std stay f32 (f32 accumulation via preferred_element_type)
+    dt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    if dt == jnp.bfloat16:
+        W1_pose = W1_pose.astype(dt)
+        W1_dyn = W1_dyn.astype(dt)
+        W2s = [w.astype(dt) for w in W2s]
+        pose_mlp = jax.tree.map(lambda a: a.astype(dt) if a.ndim == 2 else a, pose_mlp)
+
+    def _mm(a, w):
+        return jnp.dot(a.astype(w.dtype), w, preferred_element_type=jnp.float32)
+
     def _t_embed(t):
         proj = t[:, 0:1] * fourier_W[None, :] * 2.0 * jnp.pi
         t_feat = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
@@ -130,7 +144,7 @@ def make_fast_score_fn(
 
     def _heads(hidden, t):
         outs = [
-            hidden[:, o : o + w] @ W2 + b2
+            _mm(hidden[:, o : o + w], W2) + b2
             for o, w, W2, b2 in zip(offsets, widths, W2s, b2s)
         ]
         return jnp.concatenate(outs, axis=-1) / (marginal_std_fn(t) + 1e-7)
@@ -138,21 +152,21 @@ def make_fast_score_fn(
     def _pose_feat(x):
         h = x
         for layer in ("Dense_0", "Dense_1"):
-            h = jax.nn.relu(h @ pose_mlp[layer]["kernel"] + pose_mlp[layer]["bias"])
+            h = jax.nn.relu(_mm(h, pose_mlp[layer]["kernel"]) + pose_mlp[layer]["bias"])
         return h
 
     if uniform_t:
 
         def score(x, t):
-            t_contrib = _t_embed(t[:1]) @ W1_t  # (1, sum widths), one row
-            hidden = jax.nn.relu(_pose_feat(x) @ W1_pose + (static + t_contrib))
+            t_contrib = _t_embed(t[:1]) @ W1_t.astype(jnp.float32)  # one row
+            hidden = jax.nn.relu(_mm(_pose_feat(x), W1_pose) + (static + t_contrib))
             return _heads(hidden, t)
 
     else:
 
         def score(x, t):
             dyn = jnp.concatenate([_t_embed(t), _pose_feat(x)], axis=-1)
-            hidden = jax.nn.relu(dyn @ W1_dyn + static)
+            hidden = jax.nn.relu(_mm(dyn, W1_dyn) + static)
             return _heads(hidden, t)
 
     return score

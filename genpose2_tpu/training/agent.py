@@ -166,6 +166,7 @@ class PoseAgent:
                 pose_dim=self.cfg.model.pose_dim,
                 regression_head=self.cfg.model.regression_head,
                 uniform_t=False,  # measured slower on v5e: the (1, .) t-row ops break fusion
+                compute_dtype=self.cfg.model.score_dtype,
             )
 
         def fn(x, t):

@@ -45,8 +45,13 @@ def steady(fn_once, *args):
 def main():
     import sys
     stages = set(sys.argv[1:]) or {"enc", "ode", "agg"}
+    score_dt = "bfloat16" if "bf16score" in stages else "float32"
     cfg = default_config().replace(
-        model=ModelConfig(dino="none", pointnet2=PointNet2Config(compute_dtype="bfloat16"))
+        model=ModelConfig(
+            dino="none",
+            pointnet2=PointNet2Config(compute_dtype="bfloat16"),
+            score_dtype=score_dt,
+        )
     )
     B, K, N = 128, 50, 1024
     agent = PoseAgent(cfg, "score", steps_per_epoch=1000)
