@@ -19,14 +19,23 @@ reference: networks/pts_encoder/pointnet2.py:211-252 (Pointnet2ClsMSG).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from genpose2_tpu.config import PointNet2Config
 from genpose2_tpu.ops import furthest_point_sample, gather_points
 from genpose2_tpu.ops.ball_query_pallas import ball_count
 from genpose2_tpu.ops.fused_sa import fused_sa_scale
+from genpose2_tpu.ops.relpe_attention import relpe_attention
 
 _BN_EPS = 1e-5
+_LN_EPS = 1e-6  # flax nn.LayerNorm default
+
+
+def _layernorm(x, p):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + _LN_EPS) * p["scale"] + p["bias"]
 
 
 def _fold_bn(bn_params, bn_stats):
@@ -200,17 +209,27 @@ def fast_fus_forward(variables, pointcloud, cfg: PointNet2Config):
             dt,
         )
 
-        if new_xyz is not None:
-            name = f"EfficientRelativePositionalEncoding_{k}"
-            rel_bias = EfficientRelativePositionalEncoding(cfg.num_heads).apply(
-                {"params": params[name]}, new_xyz
-            )
-        else:
-            rel_bias = None
         name = f"TransformerBlockWithRelativePE_{k}"
-        features = TransformerBlockWithRelativePE(
-            out_channels[k], cfg.num_heads, cfg.dropout
-        ).apply({"params": params[name]}, features, rel_bias, deterministic=True)
+        tb = params[name]
+        if new_xyz is not None:
+            # fused rel-PE attention kernel: the bias tile is computed on the
+            # fly from new_xyz; no (B, *, M, M) tensor is materialized
+            # (parity: tests/test_ops.py::TestRelPEAttention)
+            pe = params[f"EfficientRelativePositionalEncoding_{k}"]
+            mha = tb["MultiheadAttentionWithRelativePE_0"]
+            q = features @ mha["wq"]["kernel"] + mha["wq"]["bias"]
+            kk = features @ mha["wk"]["kernel"] + mha["wk"]["bias"]
+            v = features @ mha["wv"]["kernel"] + mha["wv"]["bias"]
+            attn = relpe_attention(new_xyz, q, kk, v, pe, cfg.num_heads)
+            attn = attn @ mha["wo"]["kernel"] + mha["wo"]["bias"]
+            h = _layernorm(features + attn, tb["LayerNorm_0"])
+            ff = jax.nn.relu(h @ tb["Dense_0"]["kernel"] + tb["Dense_0"]["bias"])
+            ff = ff @ tb["Dense_1"]["kernel"] + tb["Dense_1"]["bias"]
+            features = _layernorm(h + ff, tb["LayerNorm_1"])
+        else:
+            features = TransformerBlockWithRelativePE(
+                out_channels[k], cfg.num_heads, cfg.dropout
+            ).apply({"params": tb}, features, None, deterministic=True)
         xyz = new_xyz
 
     return features.squeeze(1)

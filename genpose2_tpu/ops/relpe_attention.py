@@ -1,0 +1,181 @@
+"""Fused relative-PE attention kernel (eval fast path for the Fus encoder).
+
+The XLA formulation (models/attention.py) materializes, at stage 0 of the
+flagship encoder (B=64, M=512), about 1 GB of HBM intermediates per batch:
+the (B, M, M, 3) relative offsets, the (B, M, M, 16) distance/direction MLP
+hiddens, the (B, H, M, M) bias, and the (B, H, M, M) attention scores —
+measured 13.7 ms for rel-PE + attention at that shape. This kernel computes,
+per (batch row, query tile), the bias TILE on the fly from xyz (VPU), adds it
+to the q k^T scores, and finishes softmax(scores) @ v — HBM traffic drops to
+one read of q/k/v/xyz and one write of the output.
+
+Math identical to EfficientRelativePositionalEncoding (+ fusion layer, both
+use_distance and use_direction on) feeding MultiheadAttentionWithRelativePE
+(reference: networks/pts_encoder/attention.py:648-735, :414-488): per (i, j),
+rel = xyz_j - xyz_i,
+  db  = relu(|rel| @ W1d + b1d) @ W2d + b2d               (8)
+  dr  = relu((rel/(|rel|+1e-7)) @ W1r + b1r) @ W2r + b2r  (8)
+  bias_h = concat(db, dr) @ Wf[:, h] + bf[h]
+  out = softmax(q k^T / sqrt(D) + bias) v.
+
+Parity vs the XLA modules is asserted in tests/test_ops.py. (A variant that
+folds the three linear bias stages into per-channel head coefficients — 40%
+fewer VPU plane-ops — crashed the TPU compile helper; revisit.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HID = 16  # distance/direction encoder hidden width (reference: attention.py:661-672)
+
+
+def _kernel(
+    qx_ref, qy_ref, qz_ref, kx_ref, ky_ref, kz_ref,
+    q_ref, k_ref, v_ref,
+    w1d_ref, b1d_ref, w2d_ref, b2d_ref,
+    w1r_ref, b1r_ref, w2r_ref, b2r_ref,
+    wf_ref, bf_ref,
+    out_ref,
+    *, scale, n_valid,
+):
+    """One (batch row, query tile): q (1, H, TQ, D), k/v (1, H, M, D),
+    qx.. (1, TQ), kx.. (1, M), out (1, H, TQ, D)."""
+    H, TQ, D = q_ref.shape[1:]
+    M = k_ref.shape[2]
+
+    qx = qx_ref[0].reshape(TQ, 1)
+    qy = qy_ref[0].reshape(TQ, 1)
+    qz = qz_ref[0].reshape(TQ, 1)
+    kx = kx_ref[0]  # (1, M)
+    ky = ky_ref[0]
+    kz = kz_ref[0]
+
+    # rel[i, j] = xyz_j - xyz_i (reference: attention.py:707)
+    rx = kx - qx  # (TQ, M)
+    ry = ky - qy
+    rz = kz - qz
+    dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    inv = 1.0 / (dist + 1e-7)
+    ux, uy, uz = rx * inv, ry * inv, rz * inv
+
+    w1d = w1d_ref[:]  # (1, 16)
+    b1d = b1d_ref[:]
+    w2d = w2d_ref[:]  # (16, 8)
+    b2d = b2d_ref[:]  # (1, 8)
+    w1r = w1r_ref[:]  # (3, 16)
+    b1r = b1r_ref[:]
+    w2r = w2r_ref[:]
+    b2r = b2r_ref[:]
+    wf = wf_ref[:]  # (16, H)
+    bf = bf_ref[:]  # (1, H)
+    nb = w2d.shape[1]
+
+    # encoder hiddens -> 8+8 bias planes, all (TQ, M) VPU
+    db = [jnp.full((TQ, M), b2d[0, o]) for o in range(nb)]
+    dr = [jnp.full((TQ, M), b2r[0, o]) for o in range(nb)]
+    for c in range(_HID):
+        hd = jnp.maximum(dist * w1d[0, c] + b1d[0, c], 0.0)
+        hr = jnp.maximum(ux * w1r[0, c] + uy * w1r[1, c] + uz * w1r[2, c] + b1r[0, c], 0.0)
+        for o in range(nb):
+            db[o] = db[o] + hd * w2d[c, o]
+            dr[o] = dr[o] + hr * w2r[c, o]
+
+    # key-side padding mask (M padded to a lane multiple)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, M), dimension=1)
+    neg = jnp.float32(-1e30)
+
+    for h in range(H):
+        bias = jnp.full((TQ, M), bf[0, h])
+        for o in range(nb):
+            bias = bias + db[o] * wf[o, h] + dr[o] * wf[nb + o, h]
+        qh = q_ref[0, h]  # (TQ, D)
+        kh = k_ref[0, h]  # (M, D)
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + bias
+        scores = jnp.where(lane < n_valid, scores, neg)
+        smax = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - smax)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        out_ref[0, h] = jnp.dot(
+            p.astype(v_ref.dtype), v_ref[0, h], preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def relpe_attention(xyz, q, k, v, pe_params, num_heads: int):
+    """xyz (B, M, 3); q, k, v (B, M, C) pre-projected (wq/wk/wv applied by the
+    caller); pe_params = EfficientRelativePositionalEncoding param tree
+    (Dense_0..Dense_4) -> (B, M, C) attention output (before wo).
+
+    Equivalent to
+        bias = EfficientRelativePositionalEncoding(H)(xyz)
+        softmax(split_heads(q) split_heads(k)^T / sqrt(D) + bias) split_heads(v)
+    without materializing any (B, *, M, M) tensor.
+    """
+    B, M, C = q.shape
+    H = num_heads
+    D = C // H
+
+    Mp = ((M + 127) // 128) * 128
+    TQ = min(128, Mp)
+    xyz = jax.lax.stop_gradient(xyz).astype(jnp.float32)
+    if Mp != M:
+        xyz = jnp.pad(xyz, ((0, 0), (0, Mp - M), (0, 0)), constant_values=1e6)
+        q = jnp.pad(q, ((0, 0), (0, Mp - M), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, Mp - M), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Mp - M), (0, 0)))
+
+    def heads(t):  # (B, Mp, C) -> (B, H, Mp, D)
+        return t.reshape(B, Mp, H, D).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    x_, y_, z_ = (xyz[..., i][:, None, :] for i in range(3))  # (B, 1, Mp)
+
+    p = jax.tree.map(lambda a: a.astype(jnp.float32), pe_params)
+    nb = p["Dense_1"]["kernel"].shape[1]  # 8 (per-encoder bias width)
+    wa = [
+        p["Dense_0"]["kernel"].reshape(1, _HID),
+        p["Dense_0"]["bias"].reshape(1, _HID),
+        p["Dense_1"]["kernel"],
+        p["Dense_1"]["bias"].reshape(1, nb),
+        p["Dense_2"]["kernel"],
+        p["Dense_2"]["bias"].reshape(1, _HID),
+        p["Dense_3"]["kernel"],
+        p["Dense_3"]["bias"].reshape(1, nb),
+        p["Dense_4"]["kernel"],
+        p["Dense_4"]["bias"].reshape(1, H),
+    ]
+    wa_specs = [
+        pl.BlockSpec(w.shape, lambda b, m, nd=w.ndim: (0,) * nd, memory_space=pltpu.VMEM)
+        for w in wa
+    ]
+
+    grid = (B, Mp // TQ)
+    qrow_spec = pl.BlockSpec((1, 1, TQ), lambda b, m: (b, 0, m), memory_space=pltpu.VMEM)
+    krow_spec = pl.BlockSpec((1, 1, Mp), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=1.0 / (D**0.5), n_valid=M),
+        grid=grid,
+        in_specs=[
+            qrow_spec, qrow_spec, qrow_spec,
+            krow_spec, krow_spec, krow_spec,
+            pl.BlockSpec((1, H, TQ, D), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Mp, D), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Mp, D), lambda b, m: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            *wa_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, TQ, D), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Mp, D), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(x_, y_, z_, x_, y_, z_, qh, kh, vh, *wa)
+
+    return out.transpose(0, 2, 1, 3).reshape(B, Mp, C)[:, :M]

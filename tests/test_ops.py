@@ -307,3 +307,34 @@ class TestFusedSA:
             xyz, new_xyz, proj, center, affines, weights, radius, S, row_tile=16
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+class TestRelPEAttention:
+    @pytest.mark.parametrize("M", [64, 128, 200])
+    def test_matches_xla_modules(self, rng, M):
+        """Fused kernel == EfficientRelativePositionalEncoding + MHA modules."""
+        from genpose2_tpu.models.attention import (
+            EfficientRelativePositionalEncoding,
+            MultiheadAttentionWithRelativePE,
+        )
+        from genpose2_tpu.ops.relpe_attention import relpe_attention
+
+        B, C, H = 2, 32, 8
+        xyz = jnp.asarray(rng.normal(size=(B, M, 3)).astype(np.float32)) * 0.1
+        x = jnp.asarray(rng.normal(size=(B, M, C)).astype(np.float32))
+
+        pe = EfficientRelativePositionalEncoding(H)
+        pe_vars = pe.init(jax.random.PRNGKey(0), xyz)
+        mha = MultiheadAttentionWithRelativePE(C, H, 0.0)
+        mha_vars = mha.init(jax.random.PRNGKey(1), x, None, True)
+
+        bias = pe.apply(pe_vars, xyz)
+        want = mha.apply(mha_vars, x, bias, True)
+
+        p = mha_vars["params"]
+        q = x @ p["wq"]["kernel"] + p["wq"]["bias"]
+        k = x @ p["wk"]["kernel"] + p["wk"]["bias"]
+        v = x @ p["wv"]["kernel"] + p["wv"]["bias"]
+        attn = relpe_attention(xyz, q, k, v, pe_vars["params"], H)
+        got = attn @ p["wo"]["kernel"] + p["wo"]["bias"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
