@@ -137,11 +137,13 @@ class GatedAttentionFusion(nn.Module):
     point features with (transformed) original DINO features.
 
     current (B, N, C_cur), original (B, N_orig, C_orig) -> (B, N, C_cur).
-    reference: attention.py:224-325.
+    reference: attention.py:224-325. ``dtype`` selects the Dense compute
+    dtype (params and BatchNorm stay f32).
     """
 
     current_channels: int
     dropout_bn_momentum: float = 0.9
+    dtype: jnp.dtype = None
 
     def _bn(self, train):
         return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
@@ -153,15 +155,16 @@ class GatedAttentionFusion(nn.Module):
             original = linear_resize_points(original, current.shape[1])
 
         # original feature transform: Dense + BN + ReLU (reference :264-268)
-        orig_t = nn.Dense(C)(original)
+        orig_t = nn.Dense(C, dtype=self.dtype)(original)
         orig_t = self._bn(train)(orig_t)
         orig_t = nn.relu(orig_t)
 
         # channel attention over the global-average-pooled concat (:233-248)
         pooled = jnp.mean(jnp.concatenate([current, orig_t], axis=-1), axis=1, keepdims=True)
-        ca = nn.Dense((2 * C) // 4)(pooled)
+        ca = nn.Dense((2 * C) // 4, dtype=self.dtype)(pooled)
         ca = nn.relu(ca)
-        ca = nn.Dense(C)(ca)
+        ca = nn.Dense(C, dtype=self.dtype)(ca)
+        ca = ca.astype(jnp.float32)
         ca = nn.sigmoid(ca)  # (B, 1, C)
 
         # spatial attention: conv(k=7) over [max_c, mean_c] along points (:251-254)
@@ -175,12 +178,12 @@ class GatedAttentionFusion(nn.Module):
         attended = orig_t * ca * sa
 
         # gate (:257-261)
-        gate = nn.Dense(C)(jnp.concatenate([current, attended], axis=-1))
+        gate = nn.Dense(C, dtype=self.dtype)(jnp.concatenate([current, attended], axis=-1))
         gate = self._bn(train)(gate)
         gate = nn.sigmoid(gate)
         fused = gate * current + (1.0 - gate) * attended
 
         # output transform (:278-282)
-        out = nn.Dense(C)(fused)
+        out = nn.Dense(C, dtype=self.dtype)(fused)
         out = self._bn(train)(out)
         return nn.relu(out)

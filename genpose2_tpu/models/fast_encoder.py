@@ -192,7 +192,9 @@ def fast_fus_forward(variables, pointcloud, cfg: PointNet2Config):
             if downsampled.shape[1] != features.shape[1]:
                 downsampled = linear_resize_points(downsampled, features.shape[1])
             name = f"GatedAttentionFusion_{k - 1}"
-            features = GatedAttentionFusion(out_channels[k - 1]).apply(
+            features = GatedAttentionFusion(
+                out_channels[k - 1], dtype=dt if dt != jnp.float32 else None
+            ).apply(
                 {"params": params[name], "batch_stats": stats.get(name, {})},
                 features,
                 downsampled,

@@ -19,6 +19,7 @@ import numpy as np
 class ImgEncoder(nn.Module):
     dim: int = 384
     num_patches: int = 256  # 16x16 grid for 256px / patch16
+    dtype: jnp.dtype = None  # matmul/einsum compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, features):
@@ -27,9 +28,10 @@ class ImgEncoder(nn.Module):
         h = w = int(np.sqrt(P))
 
         # (1) layer attention (reference: :58-64)
-        attn = nn.Dense(D // 2)(feats)
+        attn = nn.Dense(D // 2, dtype=self.dtype)(feats)
         attn = nn.relu(attn)
-        attn = nn.Dense(1)(attn)  # (B, L, P, 1)
+        attn = nn.Dense(1, dtype=self.dtype)(attn)  # (B, L, P, 1)
+        attn = attn.astype(jnp.float32)
         attn = nn.softmax(attn, axis=1)
         fused = jnp.sum(feats * attn, axis=1)  # (B, P, D)
 
@@ -45,15 +47,22 @@ class ImgEncoder(nn.Module):
         rel_idx = np.clip(rel_idx, 0, max_rel * max_rel - 1)
         rel_emb = nn.Embed(max_rel * max_rel, D // 4)(jnp.asarray(rel_idx))  # (P,P,D/4)
 
-        feat_geo = fused[:, :, D // 4 :]
-        attn_spatial = jnp.einsum("bpd,bqd->bpq", feat_geo, feat_geo)
+        dt = self.dtype or fused.dtype
+        feat_geo = fused[:, :, D // 4 :].astype(dt)
+        attn_spatial = jnp.einsum(
+            "bpd,bqd->bpq", feat_geo, feat_geo, preferred_element_type=jnp.float32
+        )
         attn_spatial = attn_spatial * jnp.sum(rel_emb, axis=-1)[None]
         attn_spatial = nn.softmax(attn_spatial, axis=-1)
-        geo = jnp.einsum("bpq,bqd->bpd", attn_spatial, fused)
+        geo = jnp.einsum(
+            "bpq,bqd->bpd", attn_spatial.astype(dt), fused.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
 
         # (3) edge enhancement (reference: :86-91)
         spatial = fused.reshape(B, h, w, D)
-        edge = nn.Conv(D // 4, (3, 3), padding="SAME")(spatial)
+        edge = nn.Conv(D // 4, (3, 3), padding="SAME", dtype=self.dtype)(spatial)
+        edge = edge.astype(jnp.float32)
         edge = nn.relu(edge)
         edge = jnp.mean(edge, axis=(1, 2))  # (B, D/4) adaptive avg pool
         edge_w = jnp.tile(edge[:, None, :], (1, 1, 4))  # (B, 1, D)

@@ -252,7 +252,10 @@ class PointNet2ClsMSGFus(nn.Module):
             if k > 0:
                 if downsampled.shape[1] != features.shape[1]:
                     downsampled = linear_resize_points(downsampled, features.shape[1])
-                features = GatedAttentionFusion(out_channels[k - 1])(
+                gaf_dt = (
+                    jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
+                )
+                features = GatedAttentionFusion(out_channels[k - 1], dtype=gaf_dt)(
                     features, downsampled, train=train
                 )
                 features = nn.Dropout(self.cfg.dropout)(features, deterministic=not train)

@@ -44,7 +44,10 @@ class GFObjectPose(nn.Module):
         m = self.cfg
         if m.dino != "none":
             grid = m.img_size // m.patch_size
-            self.img_encoder = ImgEncoder(m.dino_dim, grid * grid)
+            img_dt = (
+                jnp.bfloat16 if m.pointnet2.compute_dtype == "bfloat16" else None
+            )
+            self.img_encoder = ImgEncoder(m.dino_dim, grid * grid, dtype=img_dt)
         if m.pts_encoder == "pointnet":
             self.pts_encoder = PointNetFeat(out_dim=1024, in_dim=3)
         elif m.pts_encoder == "pointnet2":

@@ -28,12 +28,14 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     layer_scale_init: Optional[float] = 1e-5
+    dtype: Optional[jnp.dtype] = None  # matmul compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(name="norm1", dtype=jnp.float32)(x)
         h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim, name="attn"
+            num_heads=self.num_heads, qkv_features=self.dim, name="attn",
+            dtype=self.dtype,
         )(h, h)
         if self.layer_scale_init is not None:
             gamma1 = self.param(
@@ -41,10 +43,10 @@ class ViTBlock(nn.Module):
             )
             h = h * gamma1
         x = x + h
-        h = nn.LayerNorm(name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.LayerNorm(name="norm2", dtype=jnp.float32)(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1", dtype=self.dtype)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        h = nn.Dense(self.dim, name="mlp_fc2", dtype=self.dtype)(h)
         if self.layer_scale_init is not None:
             gamma2 = self.param(
                 "ls2", nn.initializers.constant(self.layer_scale_init), (self.dim,)
@@ -60,6 +62,7 @@ class ViT(nn.Module):
     num_heads: int = 6
     mlp_ratio: float = 4.0
     num_register_tokens: int = 0
+    dtype: Optional[jnp.dtype] = None  # matmul compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, intermediate: Sequence[int] = (), norm: bool = True):
@@ -68,7 +71,10 @@ class ViT(nn.Module):
         dinov2's get_intermediate_layers."""
         B, H, W, _ = x.shape
         p = self.patch_size
-        tokens = nn.Conv(self.dim, (p, p), strides=(p, p), name="patch_embed")(x)
+        tokens = nn.Conv(
+            self.dim, (p, p), strides=(p, p), name="patch_embed", dtype=self.dtype
+        )(x)
+        tokens = tokens.astype(jnp.float32)
         tokens = tokens.reshape(B, -1, self.dim)
         P = tokens.shape[1]
 
@@ -94,7 +100,8 @@ class ViT(nn.Module):
         skip = 1 + self.num_register_tokens
         for i in range(self.depth):
             tokens = ViTBlock(
-                self.dim, self.num_heads, self.mlp_ratio, name=f"block_{i}"
+                self.dim, self.num_heads, self.mlp_ratio, name=f"block_{i}",
+                dtype=self.dtype,
             )(tokens)
             if i in intermediate:
                 t = final_norm(tokens) if norm else tokens

@@ -35,7 +35,7 @@ def main():
     )
     grid = img // cfg.model.patch_size
 
-    vit = vit_s16()
+    vit = vit_s16(dtype=jnp.bfloat16)  # frozen eval backbone: bf16 matmuls
     key = jax.random.PRNGKey(0)
     crops = jax.random.uniform(key, (B, img, img, 3), jnp.float32)
     vit_vars = vit.init(key, crops[:1])

@@ -48,7 +48,7 @@ def main():
         )
     )
     grid = img // cfg.model.patch_size
-    vit = vit_s16()
+    vit = vit_s16(dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     crops = jax.random.uniform(key, (B, img, img, 3), jnp.float32)
     vit_vars = vit.init(key, crops[:1])
@@ -116,6 +116,45 @@ def main():
 
             t = steady(tb_once, feat_s, bias)
             print(f"transformer M={M} C={C}: {t*1e3:8.2f} ms", flush=True)
+
+    if "gaf" in stages:
+        from genpose2_tpu.models.attention import GatedAttentionFusion
+
+        p = state.params["pts_encoder"]
+        st = state.batch_stats["pts_encoder"]
+        for (name, M, C) in (
+            ("GatedAttentionFusion_0", 512, 96),
+            ("GatedAttentionFusion_1", 256, 256),
+        ):
+            cur = jax.random.normal(key, (B, M, C))
+            orig = jax.random.normal(key, (B, 1024, 384))
+            gaf = GatedAttentionFusion(C)
+
+            def gaf_once(carry, k, c, o):
+                out = gaf.apply(
+                    {"params": p[name], "batch_stats": st.get(name, {})},
+                    c + 0.0 * carry, o, False,
+                )
+                return out[0, 0, 0]
+
+            t = steady(gaf_once, cur, orig)
+            print(f"gated-fusion M={M} C={C}: {t*1e3:8.2f} ms", flush=True)
+
+    if "img" in stages:
+        def img_once(carry, k, st):
+            b = dict(batch)
+            b["dino_layers"] = [l + 0.0 * carry for l in layers]
+            from genpose2_tpu.models.posenet import GFObjectPose
+
+            v = {"params": st.params, "batch_stats": st.batch_stats,
+                 "constants": st.constants}
+            fused = agent.model.apply(
+                v, b["dino_layers"], method=GFObjectPose.fuse_dino_layers
+            )
+            return fused[0, 0, 0]
+
+        t = steady(img_once, state)
+        print(f"ImgEncoder fuse: {t*1e3:8.2f} ms", flush=True)
 
     if "ode" in stages:
         b = dict(batch)
