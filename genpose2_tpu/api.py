@@ -53,14 +53,14 @@ class GenPose2TPU:
         dummy = self._dummy_batch()
         self.score_state = self.score_agent.init_state(key, dummy)
         if score_ckpt:
-            self.score_state = load_params_only(score_ckpt, self.score_state, cfg=self.cfg, agent_type="score")
+            self.score_state = load_params_only(score_ckpt, self.score_state, cfg=self.cfg)
 
         self.energy_agent = self.energy_state = None
         if energy_ckpt is not None:
             self.energy_agent = PoseAgent(self.cfg, "energy")
             self.energy_state = self.energy_agent.init_state(key, dummy)
             if isinstance(energy_ckpt, str):
-                self.energy_state = load_params_only(energy_ckpt, self.energy_state, cfg=self.cfg, agent_type="energy")
+                self.energy_state = load_params_only(energy_ckpt, self.energy_state, cfg=self.cfg)
 
         self.scale_agent = self.scale_state = None
         if scale_ckpt is not None:

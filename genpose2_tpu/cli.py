@@ -185,7 +185,7 @@ def cmd_train(args):
         first = next(iter(loader_fn0(0)))
         batch0 = first if "zero_mean_gt_pose" in first else process_batch(first, cfg.model.pose_mode)
         ss = sa.init_state(jax.random.PRNGKey(0), batch0)
-        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg, agent_type="score")
+        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg)
         frozen = (sa, ss)
 
     trainer = Trainer(
@@ -218,12 +218,12 @@ def cmd_eval(args):
     sa = PoseAgent(cfg, "score")
     ss = sa.init_state(jax.random.PRNGKey(0), batches[0])
     if args.score_ckpt:
-        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg, agent_type="score")
+        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg)
     ea = es = None
     if args.energy_ckpt:
         ea = PoseAgent(cfg, "energy")
         es = ea.init_state(jax.random.PRNGKey(0), batches[0])
-        es = load_params_only(args.energy_ckpt, es, use_ema_as_params=True, cfg=cfg, agent_type="energy")
+        es = load_params_only(args.energy_ckpt, es, use_ema_as_params=True, cfg=cfg)
     ev = SingleFrameEvaluator(cfg, sa, ss, ea, es, out_dir=os.path.join(args.log_dir, "eval"))
     metrics = ev.run(batches)
     print("deg_mean:", metrics.deg_mean, "sht_mean:", metrics.sht_mean)
@@ -250,7 +250,7 @@ def cmd_track(args):
     sa = PoseAgent(cfg, "score")
     ss = sa.init_state(jax.random.PRNGKey(0), batch0)
     if args.score_ckpt:
-        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg, agent_type="score")
+        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg)
     tracker = PoseTracker(cfg, sa, ss, T0=args.T0, num_steps=args.sampling_steps)
     results = track_videos_multiplexed(
         tracker, videos, jax.random.PRNGKey(0), object_budget=cfg.eval.batch_size

@@ -35,7 +35,10 @@ class EfficientRelativePositionalEncoding(nn.Module):
     def __call__(self, xyz):
         # rel[b, i, j] = xyz[b, j] - xyz[b, i] (reference: attention.py:707,
         # xyz.unsqueeze(1) - xyz.unsqueeze(2)); direction sign/orientation
-        # matters for torch-weight ingestion parity
+        # matters for torch-weight ingestion parity. NOTE: flax checkpoints
+        # trained before commit 77fc0a7 used the opposite sign and are NOT
+        # weight-compatible with this module (no released checkpoints
+        # predate the flip)
         rel = xyz[:, None, :, :] - xyz[:, :, None, :]  # (B, N, N, 3)
         dist = jnp.linalg.norm(rel, axis=-1, keepdims=True)
         direction = rel / (dist + 1e-7)

@@ -57,6 +57,43 @@ def blocked_prefix_rank(mask2: "jnp.ndarray") -> "jnp.ndarray":
     return jnp.concatenate(pieces, axis=1)
 
 
+
+def _pad_and_split(xyz, new_xyz, row_tile):
+    """Shared prologue for the centroid-tiled kernels: stop-gradient + f32,
+    Mosaic-compatible tiling (TM lane rule, RB batch rows, N lane padding with
+    far-away points), and per-coordinate splits.
+
+    Returns (x, y, z, cx, cy, cz, grid, specs, dims) where specs =
+    (pts_spec, ctr_spec) and dims = (B, M, N, Bp, Mp, Np, TM)."""
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    xyz = jax.lax.stop_gradient(xyz).astype(jnp.float32)
+    new_xyz = jax.lax.stop_gradient(new_xyz).astype(jnp.float32)
+
+    TM = min(row_tile, M)
+    # centers block must satisfy Mosaic lane tiling: TM % 128 == 0 or TM == M
+    if TM % 128 != 0 and TM != M:
+        TM = M if M < 128 else 128
+    Bp = ((B + _RB - 1) // _RB) * _RB
+    Mp = ((M + TM - 1) // TM) * TM
+    Np = ((N + 127) // 128) * 128
+    if Bp != B:
+        xyz = jnp.pad(xyz, ((0, Bp - B), (0, 0), (0, 0)))
+        new_xyz = jnp.pad(new_xyz, ((0, Bp - B), (0, 0), (0, 0)))
+    if Mp != M:
+        new_xyz = jnp.pad(new_xyz, ((0, 0), (0, Mp - M), (0, 0)))
+    if Np != N:
+        # padded points pushed far away AND masked by n_valid
+        xyz = jnp.pad(xyz, ((0, 0), (0, Np - N), (0, 0)), constant_values=1e9)
+
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    cx, cy, cz = new_xyz[..., 0], new_xyz[..., 1], new_xyz[..., 2]
+    grid = (Bp // _RB, Mp // TM)
+    pts_spec = pl.BlockSpec((_RB, Np), lambda b, m: (b, 0), memory_space=pltpu.VMEM)
+    ctr_spec = pl.BlockSpec((_RB, TM), lambda b, m: (b, m), memory_space=pltpu.VMEM)
+    return x, y, z, cx, cy, cz, grid, (pts_spec, ctr_spec), (B, M, N, Bp, Mp, Np, TM)
+
+
 def _bq_kernel(x_ref, y_ref, z_ref, cx_ref, cy_ref, cz_ref, out_ref, *, radius, nsample, n_valid):
     RB, N = x_ref.shape
     TM = cx_ref.shape[1]
@@ -96,33 +133,9 @@ def ball_query_pallas(
     row_tile: int = 128,
 ):
     """xyz (B, N, 3), new_xyz (B, M, 3) -> (B, M, nsample) int32."""
-    B, N, _ = xyz.shape
-    M = new_xyz.shape[1]
-    xyz = jax.lax.stop_gradient(xyz).astype(jnp.float32)
-    new_xyz = jax.lax.stop_gradient(new_xyz).astype(jnp.float32)
-
-    TM = min(row_tile, M)
-    # centers block must satisfy Mosaic lane tiling: TM % 128 == 0 or TM == M
-    if TM % 128 != 0 and TM != M:
-        TM = M if M < 128 else 128
-    Bp = ((B + _RB - 1) // _RB) * _RB
-    Mp = ((M + TM - 1) // TM) * TM
-    Np = ((N + 127) // 128) * 128
-    if Bp != B:
-        xyz = jnp.pad(xyz, ((0, Bp - B), (0, 0), (0, 0)))
-        new_xyz = jnp.pad(new_xyz, ((0, Bp - B), (0, 0), (0, 0)))
-    if Mp != M:
-        new_xyz = jnp.pad(new_xyz, ((0, 0), (0, Mp - M), (0, 0)))
-    if Np != N:
-        # padded points pushed far away AND masked by n_valid
-        xyz = jnp.pad(xyz, ((0, 0), (0, Np - N), (0, 0)), constant_values=1e9)
-
-    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
-    cx, cy, cz = new_xyz[..., 0], new_xyz[..., 1], new_xyz[..., 2]
-
-    grid = (Bp // _RB, Mp // TM)
-    pts_spec = pl.BlockSpec((_RB, Np), lambda b, m: (b, 0), memory_space=pltpu.VMEM)
-    ctr_spec = pl.BlockSpec((_RB, TM), lambda b, m: (b, m), memory_space=pltpu.VMEM)
+    x, y, z, cx, cy, cz, grid, (pts_spec, ctr_spec), (B, M, N, Bp, Mp, _, TM) = (
+        _pad_and_split(xyz, new_xyz, row_tile)
+    )
     out = pl.pallas_call(
         functools.partial(_bq_kernel, radius=radius, nsample=nsample, n_valid=N),
         grid=grid,
@@ -159,30 +172,9 @@ def ball_count(
     by hit density so the fused SA kernel's dynamic chunk skip fires
     per-tile (a pure performance permutation; results are centroid-order
     independent)."""
-    B, N, _ = xyz.shape
-    M = new_xyz.shape[1]
-    xyz = jax.lax.stop_gradient(xyz).astype(jnp.float32)
-    new_xyz = jax.lax.stop_gradient(new_xyz).astype(jnp.float32)
-
-    TM = min(row_tile, M)
-    if TM % 128 != 0 and TM != M:
-        TM = M if M < 128 else 128
-    Bp = ((B + _RB - 1) // _RB) * _RB
-    Mp = ((M + TM - 1) // TM) * TM
-    Np = ((N + 127) // 128) * 128
-    if Bp != B:
-        xyz = jnp.pad(xyz, ((0, Bp - B), (0, 0), (0, 0)))
-        new_xyz = jnp.pad(new_xyz, ((0, Bp - B), (0, 0), (0, 0)))
-    if Mp != M:
-        new_xyz = jnp.pad(new_xyz, ((0, 0), (0, Mp - M), (0, 0)))
-    if Np != N:
-        xyz = jnp.pad(xyz, ((0, 0), (0, Np - N), (0, 0)), constant_values=1e9)
-
-    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
-    cx, cy, cz = new_xyz[..., 0], new_xyz[..., 1], new_xyz[..., 2]
-    grid = (Bp // _RB, Mp // TM)
-    pts_spec = pl.BlockSpec((_RB, Np), lambda b, m: (b, 0), memory_space=pltpu.VMEM)
-    ctr_spec = pl.BlockSpec((_RB, TM), lambda b, m: (b, m), memory_space=pltpu.VMEM)
+    x, y, z, cx, cy, cz, grid, (pts_spec, ctr_spec), (B, M, N, Bp, Mp, _, _TM) = (
+        _pad_and_split(xyz, new_xyz, row_tile)
+    )
     out = pl.pallas_call(
         functools.partial(_ball_count_kernel, radius=radius, n_valid=N),
         grid=grid,

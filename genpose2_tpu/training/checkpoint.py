@@ -45,7 +45,6 @@ def load_params_only(
     target: TrainState,
     use_ema_as_params: bool = False,
     cfg=None,
-    agent_type: str = "score",
 ) -> TrainState:
     """Model-weights-only restore (reference ``load_model_only`` flag,
     posenet_agent.py:171-203): keeps the target's optimizer/step, takes
@@ -58,7 +57,7 @@ def load_params_only(
     ModelConfig) for GFObjectPose checkpoints; ScaleNet torch checkpoints are
     detected by their key space and need no cfg."""
     if is_torch_checkpoint(path):
-        return load_torch_params_only(path, target, cfg, agent_type)
+        return load_torch_params_only(path, target, cfg)
     restored = load_checkpoint(path, target)
     params = restored.ema_params if use_ema_as_params else restored.params
     return target.replace(
@@ -69,13 +68,17 @@ def load_params_only(
     )
 
 
-def load_torch_params_only(
-    path: str, target: TrainState, cfg=None, agent_type: str = "score"
-) -> TrainState:
+def load_torch_params_only(path: str, target: TrainState, cfg=None) -> TrainState:
     """Convert a reference torch checkpoint into ``target``'s weight slots.
     The torch dict holds ONE copy of the weights (the reference folds EMA in
     at save time, posenet_agent.py:150-156), so params and ema_params both get
-    the converted tree."""
+    the converted tree.
+
+    NOTE: if the checkpoint embeds the hub DINO backbone ('dino.*' keys,
+    reference: posenet.py:56-62), those weights belong to the EXTERNAL ViT
+    provider, not this TrainState — load them separately:
+        vs, dino_sd = torch_ingest.load_torch_checkpoint(path, cfg.model)
+        vit_vars = models.vit.load_torch_state_dict(vit_vars, dino_sd)"""
     import torch
 
     from genpose2_tpu.training import torch_ingest
@@ -88,7 +91,16 @@ def load_torch_params_only(
         if cfg is None:
             raise ValueError("GFObjectPose torch checkpoints need cfg for conversion")
         model_cfg = getattr(cfg, "model", cfg)
-        vs, _ = torch_ingest.convert_posenet_state_dict(sd, model_cfg, agent_type)
+        vs, dino_sd = torch_ingest.convert_posenet_state_dict(sd, model_cfg)
+        if dino_sd:
+            import warnings
+
+            warnings.warn(
+                f"{path} embeds {len(dino_sd)} DINO backbone tensors; they are NOT "
+                "loaded here — feed them to models.vit.load_torch_state_dict "
+                "(see torch_ingest.load_torch_checkpoint).",
+                stacklevel=2,
+            )
     params = jax.tree.map(jnp.asarray, vs["params"])
     return target.replace(
         params=params,

@@ -269,7 +269,7 @@ def _convert_pointnet_feat(t: _Tree, sd, prefix: str, path: str):
 
 # ------------------------------------------------------------------ posenet
 def convert_posenet_state_dict(
-    sd, cfg: ModelConfig, agent_type: str = "score"
+    sd, cfg: ModelConfig
 ) -> Tuple[dict, Optional[Dict[str, np.ndarray]]]:
     """Full GFObjectPose model_state_dict -> (variables, dino_state_dict).
 
@@ -304,17 +304,19 @@ def convert_posenet_state_dict(
 
 
 def convert_reference_checkpoint(
-    ckpt: dict, cfg: ModelConfig, agent_type: str = "score"
+    ckpt: dict, cfg: ModelConfig
 ) -> Tuple[dict, Optional[Dict[str, np.ndarray]]]:
     """A torch.load()'d reference checkpoint (or a bare model state dict) ->
-    (GFObjectPose variables, dino state dict)."""
+    (GFObjectPose variables, dino state dict). Score and energy checkpoints
+    share the head naming ('pose_score_net.*', reference posenet.py:99-120),
+    so one conversion covers both agent types."""
     sd = ckpt.get("model_state_dict", ckpt)
-    return convert_posenet_state_dict(sd, cfg, agent_type)
+    return convert_posenet_state_dict(sd, cfg)
 
 
-def load_torch_checkpoint(path: str, cfg: ModelConfig, agent_type: str = "score"):
+def load_torch_checkpoint(path: str, cfg: ModelConfig):
     """torch.load a reference .pth and convert. Requires torch (CPU is fine)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    return convert_reference_checkpoint(ckpt, cfg, agent_type)
+    return convert_reference_checkpoint(ckpt, cfg)

@@ -110,7 +110,7 @@ class Trainer:
             self.state = self.agent.init_state(key, sample_batch)
             if self.agent_type.startswith("energy") and self.score_ckpt:
                 # energy net warm-started from score weights + zeroed heads
-                self.state = load_params_only(self.score_ckpt, self.state)
+                self.state = load_params_only(self.score_ckpt, self.state, cfg=self.cfg)
                 self.state = zero_init_energy_heads(self.state)
         return self.state
 

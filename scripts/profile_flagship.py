@@ -24,8 +24,10 @@ def steady(fn_once, *args):
         def body(carry, k):
             return fn_once(carry, k, *a), None
 
-        leaf0 = fn_once(jnp.float32(0.0), jnp.int32(0), *a)
-        carry, _ = jax.lax.scan(body, leaf0, jnp.arange(REPS))
+        # init with a plain scalar (every fn_once returns a scalar f32):
+        # evaluating fn_once for the init would execute REPS+1 iterations
+        # inside the timed window while dividing by REPS
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(REPS))
         return carry
 
     out = loop(*args)

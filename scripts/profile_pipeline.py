@@ -30,8 +30,10 @@ def steady(fn_once, *args):
             out = fn_once(carry, k, *a)
             return out, None
 
-        leaf0 = fn_once(jnp.float32(0.0), jnp.int32(0), *a)
-        carry, _ = jax.lax.scan(body, leaf0, jnp.arange(REPS))
+        # init with a plain scalar (every fn_once returns a scalar f32):
+        # evaluating fn_once for the init would execute REPS+1 iterations
+        # inside the timed window while dividing by REPS
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(REPS))
         return carry
 
     out = loop(*args)
@@ -93,29 +95,31 @@ def main():
         print(f"ODE (50-step RK4, {B*K} cands): {t_ode*1e3:8.2f} ms", flush=True)
 
     # --- aggregation
-    sample = jax.jit(
-        lambda s, b, k: agent.sample_candidates(
-            s, b, k, repeat_num=K, T0=0.55, method="fixed", num_steps=50
-        )
-    )
-    poses = sample(state, batch, key)
-
-    def agg_once(carry, k, p):
-        p = p + 0.0 * carry
-        out = aggregate_candidates(
-            p, None, retain_ratio=cfg.eval.retain_ratio,
-            clustering=cfg.eval.clustering, eps=cfg.eval.clustering_eps,
-            minpts_ratio=cfg.eval.clustering_minpts_ratio,
-        )
-        return out["rotation"][0, 0, 0]
-
-    t_agg = 0.0
     if "agg" in stages:
+        sample = jax.jit(
+            lambda s, b, k: agent.sample_candidates(
+                s, b, k, repeat_num=K, T0=0.55, method="fixed", num_steps=50
+            )
+        )
+        poses = sample(state, batch, key)
+
+        def agg_once(carry, k, p):
+            p = p + 0.0 * carry
+            out = aggregate_candidates(
+                p, None, retain_ratio=cfg.eval.retain_ratio,
+                clustering=cfg.eval.clustering, eps=cfg.eval.clustering_eps,
+                minpts_ratio=cfg.eval.clustering_minpts_ratio,
+            )
+            return out["rotation"][0, 0, 0]
+
         t_agg = steady(agg_once, poses)
         print(f"aggregation:  {t_agg*1e3:8.2f} ms", flush=True)
+    else:
+        t_agg = 0.0
 
     total = t_enc + t_ode + t_agg
-    print(f"total:        {total*1e3:8.2f} ms = {B*K/total:.0f} cand/s", flush=True)
+    if total > 0:
+        print(f"total:        {total*1e3:8.2f} ms = {B*K/total:.0f} cand/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -338,3 +338,77 @@ class TestRelPEAttention:
         attn = relpe_attention(xyz, q, k, v, pe_vars["params"], H)
         got = attn @ p["wo"]["kernel"] + p["wo"]["bias"]
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+class TestDynamicSkip:
+    """The production eval path (N >= 1024) runs fused_sa_scale with
+    dynamic_skip=True plus the ball_count density ordering — cover that
+    branch at production point count (small widths keep interpret-mode
+    cost down)."""
+
+    @pytest.mark.parametrize("radius", [0.05, 0.6])  # sparse and dense hits
+    def test_skip_matches_no_skip_at_n1024(self, rng, radius):
+        from genpose2_tpu.ops.fused_sa import fused_sa_scale
+
+        B, N, M, S = 2, 1024, 128, 16
+        widths = (8, 8)
+        xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        new_xyz = xyz[:, :M]
+        proj = jnp.asarray(rng.normal(size=(B, N, widths[0])).astype(np.float32))
+        center = jnp.asarray(rng.normal(size=(B, M, widths[0])).astype(np.float32))
+        affines = [
+            (
+                jnp.asarray(rng.uniform(0.5, 1.5, size=(w,)).astype(np.float32)),
+                jnp.asarray(rng.normal(size=(w,)).astype(np.float32)),
+            )
+            for w in widths
+        ]
+        weights = [jnp.asarray(rng.normal(size=(widths[0], widths[1])).astype(np.float32))]
+
+        base = fused_sa_scale(
+            xyz, new_xyz, proj, center, affines, weights, radius, S,
+            slot_chunk=8, dynamic_skip=False,
+        )
+        skip = fused_sa_scale(
+            xyz, new_xyz, proj, center, affines, weights, radius, S,
+            slot_chunk=4, dynamic_skip=True,
+        )
+        np.testing.assert_allclose(np.asarray(skip), np.asarray(base), rtol=1e-5, atol=1e-5)
+
+    def test_ball_count_matches_oracle(self, rng):
+        from genpose2_tpu.ops.ball_query_pallas import ball_count
+
+        B, N, M, r = 2, 200, 40, 0.4
+        xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        new_xyz = jnp.asarray(rng.normal(size=(B, M, 3)).astype(np.float32))
+        got = np.asarray(ball_count(xyz, new_xyz, r))
+        d2 = np.sum(
+            (np.asarray(new_xyz)[:, :, None, :] - np.asarray(xyz)[:, None, :, :]) ** 2, -1
+        )
+        want = (d2 < r * r).sum(-1).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_density_sorted_stage_matches_module(self, rng):
+        """fast_cls_forward at N=1024 (the use_skip + density-sort branch) ==
+        the PointNet2ClsMSG module."""
+        import dataclasses
+
+        from genpose2_tpu.config import PointNet2Config
+        from genpose2_tpu.models.fast_encoder import fast_cls_forward
+        from genpose2_tpu.models.pointnet2 import PointNet2ClsMSG
+
+        cfg = PointNet2Config(
+            npoints=(128, None),
+            radii=((0.1, 0.3), (None, None)),
+            nsamples=((4, 8), (None, None)),
+            mlps=(((8, 8), (8, 8)), ((16, 16), (16, 16))),
+        )
+        B, N = 2, 1024
+        pts = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32)) * 0.5
+        model = PointNet2ClsMSG(cfg)
+        vs = model.init(jax.random.PRNGKey(0), pts)
+        want = model.apply(vs, pts, train=False)
+        got = fast_cls_forward(
+            {"params": vs["params"], "batch_stats": vs.get("batch_stats", {})}, pts, cfg
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)

@@ -356,7 +356,7 @@ def test_full_posenet_pointnet_ingest(ref):
         ).numpy()
 
     cfg = dataclasses.replace(default_config().model, pts_encoder="pointnet", dino="none")
-    vs, dino_sd = ing.convert_posenet_state_dict(sd, cfg, "score")
+    vs, dino_sd = ing.convert_posenet_state_dict(sd, cfg)
     assert dino_sd is None
     model = GFObjectPose(cfg, SDE.marginal_std, "score")
     got = model.apply(
@@ -399,7 +399,7 @@ def test_load_params_only_torch_path(ref, tmp_path):
     batch = {"pts": jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32)),
              "zero_mean_gt_pose": jnp.zeros((B, 9)), "pts_center": jnp.zeros((B, 3))}
     state = agent.init_state(jax.random.PRNGKey(0), batch)
-    state = load_params_only(path, state, use_ema_as_params=True, cfg=cfg, agent_type="score")
+    state = load_params_only(path, state, use_ema_as_params=True, cfg=cfg)
 
     pose = rng.normal(size=(B, 9)).astype(np.float32)
     tt = rng.uniform(0.1, 0.9, size=(B, 1)).astype(np.float32)
@@ -462,7 +462,7 @@ def test_full_posenet_fus_structure(ref):
     )
     sd.update({f"pose_score_net.{n}": v for n, v in sd_np(tscore).items()})
 
-    vs, _ = ing.convert_posenet_state_dict(sd, cfg, "score")
+    vs, _ = ing.convert_posenet_state_dict(sd, cfg)
 
     model = GFObjectPose(cfg, SDE.marginal_std, "score")
     B, N, P = 1, 16, 16
