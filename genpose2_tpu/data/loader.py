@@ -123,6 +123,9 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
+        if hasattr(self.dataset, "epoch"):
+            # epoch folds into the dataset's per-sample RNG seed
+            self.dataset.epoch = self._epoch
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)

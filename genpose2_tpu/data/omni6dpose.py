@@ -34,7 +34,6 @@ import glob
 import json
 import threading
 import os
-import random
 from typing import Optional
 
 import cv2
@@ -253,10 +252,12 @@ class Omni6DPoseDataset:
         self.cfg = cfg
         self.mode = mode
         self.train = mode == "train"
-        self.per_obj = per_obj
+        self.per_obj = per_obj or cfg.per_obj
         self.agent_type = agent_type
         self.scale_batch_size = scale_batch_size
-        self.rng = np.random.default_rng(cfg.seed)
+        # epoch counter set by the DataLoader before each pass; folded into the
+        # per-sample RNG seed so different epochs draw different augmentations
+        self.epoch = 0
         data_dir = data_dir or cfg.data_path
 
         self.img_list = sorted(
@@ -272,7 +273,33 @@ class Omni6DPoseDataset:
         if os.path.exists(obj_meta_path):
             with open(obj_meta_path) as f:
                 self.obj_meta = json.load(f).get("instance_dict", {})
-        self.length = len(self.img_list) * (self.REPCNT if self.train else 1)
+        if self.train:
+            self.eval_pairs = None
+            self.length = len(self.img_list) * self.REPCNT
+        else:
+            # eval enumerates EVERY valid object exactly once: (frame, object)
+            # pairs built from the per-frame valid counts — the reference's
+            # cumsum indexing (reference: datasets_omni6dpose.py:179-186,
+            # 219-224)
+            self.eval_pairs = []
+            for fi, prefix in enumerate(self.img_list):
+                meta = load_meta(prefix)
+                for oi, o in enumerate(meta["objects"]):
+                    if not o.get("is_valid", True):
+                        continue
+                    if self.per_obj and o["meta"]["class_name"] != self.per_obj:
+                        continue
+                    self.eval_pairs.append((fi, oi))
+            self.length = len(self.eval_pairs)
+        # percentage_data subsetting: a seeded random subset of sample indices
+        # (the reference random_split's train-percentage slice,
+        # datasets_omni6dpose.py:588-589)
+        self.index_map = None
+        if cfg.percentage_data < 1.0:
+            n = max(1, int(self.length * cfg.percentage_data))
+            perm = np.random.default_rng(cfg.seed).permutation(self.length)[:n]
+            self.index_map = np.sort(perm)
+            self.length = n
         # decoded-frame LRU: REPCNT oversampling re-reads every training frame
         # REPCNT times per epoch, and each multi-object frame is re-read once
         # per object at eval — caching the (rgb, depth, mask) decode converts
@@ -310,30 +337,40 @@ class Omni6DPoseDataset:
         )
 
     def __getitem__(self, index: int) -> dict:
+        # per-call generator: numpy Generators are not thread-safe, and the
+        # DataLoader runs __getitem__ concurrently — deriving one from
+        # (dataset seed, epoch, index) is both safe and deterministic
+        rng = np.random.default_rng(
+            np.random.SeedSequence(entropy=(self.cfg.seed, self.epoch, index))
+        )
         for _ in range(len(self)):  # bad-sample retry (reference: :199-330)
-            prefix = self.img_list[index // (self.REPCNT if self.train else 1) % len(self.img_list)]
-            meta = load_meta(prefix)
-            valid_objects = [o for o in meta["objects"] if o.get("is_valid", True)]
-            if self.per_obj:
-                valid_objects = [
-                    o for o in valid_objects if o["meta"]["class_name"] == self.per_obj
-                ]
-            if not valid_objects:
-                index = (index + 1) % len(self)
-                continue
+            i = int(self.index_map[index]) if self.index_map is not None else index
             if self.train:
-                sel = index % self.REPCNT
+                prefix = self.img_list[i // self.REPCNT % len(self.img_list)]
+                meta = load_meta(prefix)
+                valid_objects = [o for o in meta["objects"] if o.get("is_valid", True)]
+                if self.per_obj:
+                    valid_objects = [
+                        o for o in valid_objects if o["meta"]["class_name"] == self.per_obj
+                    ]
+                if not valid_objects:
+                    index = (index + 1) % len(self)
+                    continue
+                sel = i % self.REPCNT
                 if sel < self.REPCNT - self.REPCNT % len(valid_objects):
                     obj = valid_objects[sel % len(valid_objects)]
                 else:
-                    obj = valid_objects[int(self.rng.integers(len(valid_objects)))]
+                    obj = valid_objects[int(rng.integers(len(valid_objects)))]
             else:
-                obj = valid_objects[index % len(valid_objects)]
+                fi, oi = self.eval_pairs[i]
+                prefix = self.img_list[fi]
+                meta = load_meta(prefix)
+                obj = meta["objects"][oi]
 
             rgb, depth, mask = self._load_frame(prefix)
             sym = self._sym_for(obj["meta"]["oid"])
             sample = extract_object_sample(
-                rgb, depth, mask, meta, obj, sym, self.cfg, self.rng, self.train
+                rgb, depth, mask, meta, obj, sym, self.cfg, rng, self.train
             )
             if sample is None:
                 index = (index + 1) % len(self)
@@ -345,8 +382,8 @@ class Omni6DPoseDataset:
                 from scipy.spatial.transform import Rotation as ScipyRot
 
                 S = self.scale_batch_size
-                angles = np.clip(self.rng.normal(0, 10, S), -20, 20)
-                axes = self.rng.normal(size=(S, 3))
+                angles = np.clip(rng.normal(0, 10, S), -20, 20)
+                axes = rng.normal(size=(S, 3))
                 axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
                 noise = ScipyRot.from_rotvec(
                     axes * np.radians(angles)[:, None]

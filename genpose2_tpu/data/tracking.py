@@ -38,7 +38,6 @@ class TrackingVideoDataset:
         fail_log: Optional[str] = None,
     ):
         self.cfg = cfg
-        self.rng = np.random.default_rng(cfg.seed)
         self.fail_log = fail_log
         self.prefixes = sorted(
             p[: -len("meta.json")]
@@ -67,6 +66,10 @@ class TrackingVideoDataset:
         raise ValueError(msg)
 
     def __getitem__(self, frame_idx: int) -> dict:
+        # per-call generator: thread-safe + deterministic point sampling
+        rng = np.random.default_rng(
+            np.random.SeedSequence(entropy=(self.cfg.seed, frame_idx))
+        )
         prefix = self.prefixes[frame_idx]
         meta = load_meta(prefix)
         by_oid = {
@@ -91,7 +94,7 @@ class TrackingVideoDataset:
             else:
                 sym = np.zeros(4, np.int32)
             sample = extract_object_sample(
-                rgb, depth, mask, meta, obj, sym, self.cfg, self.rng, train=False
+                rgb, depth, mask, meta, obj, sym, self.cfg, rng, train=False
             )
             if sample is None:
                 self._fail(f"object {oid} unusable at {prefix}")

@@ -89,7 +89,9 @@ class XyzibdDataset:
     ):
         self.cfg = cfg
         self.train = mode == "train"
-        self.rng = np.random.default_rng(cfg.seed)
+        # epoch set by the DataLoader; per-sample RNG derives from it (numpy
+        # Generators are not thread-safe under the threaded loader)
+        self.epoch = 0
 
         models_info_path = models_info_path or os.path.join(
             os.path.dirname(split_dir.rstrip("/")), "models", "models_info.json"
@@ -133,11 +135,20 @@ class XyzibdDataset:
                     self.samples.append((scene_dir, im_id, gi, int(gt["obj_id"])))
         if not self.samples:
             raise FileNotFoundError(f"no BOP samples under {split_dir}")
+        if cfg.percentage_data < 1.0:
+            # seeded random subset (reference: datasets_omni6dpose.py:588-589,
+            # dataset_port.py sample_ratio)
+            n = max(1, int(len(self.samples) * cfg.percentage_data))
+            perm = np.random.default_rng(cfg.seed).permutation(len(self.samples))
+            self.samples = [self.samples[i] for i in np.sort(perm[:n])]
 
     def __len__(self):
         return len(self.samples)
 
     def __getitem__(self, index: int) -> dict:
+        rng = np.random.default_rng(
+            np.random.SeedSequence(entropy=(self.cfg.seed, self.epoch, index))
+        )
         for _ in range(len(self)):
             scene_dir, im_id, gi, obj_id = self.samples[index % len(self)]
             scene_gt, scene_info, scene_cam = self.scene_meta[scene_dir]
@@ -193,7 +204,7 @@ class XyzibdDataset:
             }
             sample = extract_object_sample(
                 rgb, depth, mask, meta, obj, self.sym_labels[obj_id],
-                self.cfg, self.rng, self.train,
+                self.cfg, rng, self.train,
             )
             if sample is None:
                 index += 1

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -117,6 +118,199 @@ def vit_s16(**kw) -> ViT:
     return ViT(**defaults)
 
 
+# --------------------------------------------------------------------------
+# DINOv3 (the backbone the fork actually runs: `dinov3_vits16plus`,
+# reference: networks/posenet.py:56-62). Architectural differences from the
+# DINOv2-style ViT above, per the published DINOv3 design:
+#   - NO learned absolute positional embedding: 2D axial RoPE rotates the
+#     query/key patch tokens inside every attention (prefix tokens — cls +
+#     storage/register — are not rotated);
+#   - 4 "storage" (register) tokens appended after the cls token;
+#   - the "plus" variants use a SwiGLU feed-forward (w3(silu(w1 x) * w2 x));
+#   - LayerScale as in v2.
+# The RoPE period table is a persistent buffer in DINOv3 checkpoints
+# (rope_embed.periods); ingestion loads it verbatim, so checkpoint parity does
+# not depend on reproducing the period formula.
+# --------------------------------------------------------------------------
+
+
+def rope_tables(periods: jnp.ndarray, gh: int, gw: int) -> tuple:
+    """sin/cos tables for a gh x gw patch grid.
+
+    Coordinates are normalized per axis to [-1, 1] (DINOv3's
+    normalize_coords='separate'); angles = 2*pi*coord / period per frequency,
+    laid out [y-freqs | x-freqs] and tiled x2 so the rotation pairs dims
+    (i, i + D/2) — the rotate-half convention."""
+    ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5) / gh * 2.0 - 1.0
+    xs = (jnp.arange(gw, dtype=jnp.float32) + 0.5) / gw * 2.0 - 1.0
+    coords = jnp.stack(
+        [jnp.repeat(ys, gw), jnp.tile(xs, gh)], axis=-1
+    )  # (P, 2): per-patch (y, x)
+    angles = 2.0 * jnp.pi * coords[:, :, None] / periods[None, None, :]  # (P,2,Dq)
+    angles = angles.reshape(gh * gw, -1)  # (P, D/2)
+    angles = jnp.concatenate([angles, angles], axis=-1)  # (P, D)
+    return jnp.sin(angles), jnp.cos(angles)
+
+
+def rope_rotate(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
+    """x (B, P, H, hd) rotated by per-position sin/cos (P, hd)."""
+    d = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., d:], x[..., :d]], axis=-1)
+    return x * cos[None, :, None, :] + rot * sin[None, :, None, :]
+
+
+class DinoV3Attention(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, sin, cos, num_prefix: int):
+        B, N, D = x.shape
+        H = self.num_heads
+        hd = D // H
+        qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
+        qkv = qkv.reshape(B, N, 3, H, hd).astype(jnp.float32)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        def rot(t):
+            prefix, patches = t[:, :num_prefix], t[:, num_prefix:]
+            return jnp.concatenate([prefix, rope_rotate(patches, sin, cos)], axis=1)
+
+        q, k = rot(q), rot(k)
+        q = q.astype(self.dtype) if self.dtype else q
+        k = k.astype(self.dtype) if self.dtype else k
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        att = jax.nn.softmax(att / jnp.sqrt(jnp.float32(hd)), axis=-1)
+        att = att.astype(self.dtype) if self.dtype else att
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd",
+            att,
+            v.astype(self.dtype) if self.dtype else v,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, N, D)
+        return nn.Dense(D, name="proj", dtype=self.dtype)(out).astype(jnp.float32)
+
+
+class DinoV3Block(nn.Module):
+    dim: int
+    num_heads: int
+    ffn_hidden: int
+    ffn_layer: str = "swiglu"  # 'swiglu' (plus variants) | 'mlp'
+    layer_scale_init: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, sin, cos, num_prefix: int):
+        h = nn.LayerNorm(name="norm1", dtype=jnp.float32)(x)
+        h = DinoV3Attention(self.dim, self.num_heads, name="attn", dtype=self.dtype)(
+            h, sin, cos, num_prefix
+        )
+        gamma1 = self.param(
+            "ls1", nn.initializers.constant(self.layer_scale_init), (self.dim,)
+        )
+        x = x + h * gamma1
+        h = nn.LayerNorm(name="norm2", dtype=jnp.float32)(x)
+        if self.ffn_layer == "swiglu":
+            a = nn.Dense(self.ffn_hidden, name="mlp_w1", dtype=self.dtype)(h)
+            b = nn.Dense(self.ffn_hidden, name="mlp_w2", dtype=self.dtype)(h)
+            h = nn.Dense(self.dim, name="mlp_w3", dtype=self.dtype)(
+                nn.silu(a) * b
+            ).astype(jnp.float32)
+        else:
+            h = nn.Dense(self.ffn_hidden, name="mlp_fc1", dtype=self.dtype)(h)
+            h = nn.gelu(h)
+            h = nn.Dense(self.dim, name="mlp_fc2", dtype=self.dtype)(h).astype(
+                jnp.float32
+            )
+        gamma2 = self.param(
+            "ls2", nn.initializers.constant(self.layer_scale_init), (self.dim,)
+        )
+        return x + h * gamma2
+
+
+class DinoV3ViT(nn.Module):
+    """DINOv3-style ViT. Interface-compatible with ``ViT``:
+    ``__call__(x, intermediate, norm)`` returns the requested blocks' patch
+    tokens (cls + storage tokens stripped)."""
+
+    patch_size: int = 16
+    dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    num_storage_tokens: int = 4
+    ffn_hidden: int = 1536
+    ffn_layer: str = "swiglu"
+    rope_base: float = 100.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, intermediate: Sequence[int] = (), norm: bool = True):
+        B, Hpx, Wpx, _ = x.shape
+        p = self.patch_size
+        gh, gw = Hpx // p, Wpx // p
+        tokens = nn.Conv(
+            self.dim, (p, p), strides=(p, p), name="patch_embed", dtype=self.dtype
+        )(x)
+        tokens = tokens.astype(jnp.float32).reshape(B, gh * gw, self.dim)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+        sto = self.param(
+            "storage_tokens",
+            nn.initializers.zeros,
+            (1, self.num_storage_tokens, self.dim),
+        )
+        prefix = jnp.concatenate(
+            [
+                jnp.broadcast_to(cls, (B, 1, self.dim)),
+                jnp.broadcast_to(sto, (B, self.num_storage_tokens, self.dim)),
+            ],
+            axis=1,
+        )
+        tokens = jnp.concatenate([prefix, tokens], axis=1)
+        num_prefix = 1 + self.num_storage_tokens
+
+        hd = self.dim // self.num_heads
+        dq = hd // 4
+        periods = self.variable(
+            "constants",
+            "rope_periods",
+            lambda: self.rope_base ** (jnp.arange(dq, dtype=jnp.float32) / dq),
+        ).value
+        sin, cos = rope_tables(periods, gh, gw)
+
+        final_norm = nn.LayerNorm(name="norm")
+        outputs = []
+        for i in range(self.depth):
+            tokens = DinoV3Block(
+                self.dim,
+                self.num_heads,
+                self.ffn_hidden,
+                self.ffn_layer,
+                name=f"block_{i}",
+                dtype=self.dtype,
+            )(tokens, sin, cos, num_prefix)
+            if i in intermediate:
+                t = final_norm(tokens) if norm else tokens
+                outputs.append(t[:, num_prefix:])
+        if intermediate:
+            return outputs
+        return final_norm(tokens)[:, num_prefix:]
+
+
+def vit_s16plus(**kw) -> DinoV3ViT:
+    """DINOv3 ViT-S+/16 (`dinov3_vits16plus`): 384-d, 12 blocks, 6 heads,
+    SwiGLU hidden 1536, 4 storage tokens, RoPE base 100 — ~29M params,
+    matching the fork's checkpoint `dinov3_vits16plus_pretrain_lvd1689m`
+    (reference: networks/posenet.py:56-62)."""
+    defaults = dict(
+        patch_size=16, dim=384, depth=12, num_heads=6,
+        num_storage_tokens=4, ffn_hidden=1536, ffn_layer="swiglu",
+    )
+    defaults.update(kw)
+    return DinoV3ViT(**defaults)
+
+
 def load_torch_state_dict(params: dict, state_dict: dict) -> dict:
     """Best-effort mapping of a DINOv2-format torch state_dict into this ViT's
     param tree (in place on a copied tree). Unmatched keys are reported."""
@@ -207,3 +401,103 @@ def load_torch_state_dict(params: dict, state_dict: dict) -> dict:
     if unmatched:
         print(f"[vit] {len(unmatched)} unmatched torch keys, e.g. {unmatched[:5]}")
     return params
+
+
+def load_dinov3_state_dict(variables: dict, state_dict: dict) -> dict:
+    """Map a DINOv3-format torch state_dict into DinoV3ViT variables
+    ({'params', 'constants'}). Handles the known naming variants:
+
+    - ``storage_tokens`` / ``register_tokens``;
+    - SwiGLU as separate ``mlp.w1/w2/w3`` or fused ``mlp.w12`` (w1 and w2
+      stacked on the output dim) + ``w3``;
+    - plain MLP ``mlp.fc1/fc2`` (non-plus variants);
+    - ``rope_embed.periods`` loaded verbatim into the constants collection
+      (so parity does not depend on the period formula);
+    - ``mask_token`` / ``local_cls_norm`` heads are skipped (not used at
+      inference).
+
+    Unmatched keys are reported, mirroring load_torch_state_dict."""
+    import copy
+
+    variables = copy.deepcopy(variables)
+    p = variables["params"]
+    consts = variables.setdefault("constants", {})
+
+    def arr(v):
+        return jnp.asarray(np.asarray(v))
+
+    unmatched = []
+    skipped_prefixes = ("mask_token", "local_cls_norm", "head", "ibot", "dino_head")
+    for k, v in state_dict.items():
+        try:
+            w = np.asarray(v)
+            if k == "cls_token":
+                p["cls_token"] = arr(w)
+            elif k in ("storage_tokens", "register_tokens"):
+                p["storage_tokens"] = arr(w)
+            elif k in ("rope_embed.periods", "rope.periods", "periods"):
+                consts["rope_periods"] = arr(w).astype(jnp.float32)
+            elif k.startswith(skipped_prefixes):
+                continue
+            elif k == "patch_embed.proj.weight":
+                p["patch_embed"]["kernel"] = arr(np.transpose(w, (2, 3, 1, 0)))
+            elif k == "patch_embed.proj.bias":
+                p["patch_embed"]["bias"] = arr(w)
+            elif k == "norm.weight":
+                p["norm"]["scale"] = arr(w)
+            elif k == "norm.bias":
+                p["norm"]["bias"] = arr(w)
+            elif k.startswith("blocks."):
+                parts = k.split(".")
+                blk = p[f"block_{parts[1]}"]
+                rest = ".".join(parts[2:])
+                if rest in ("norm1.weight", "norm2.weight"):
+                    blk[rest.split(".")[0]]["scale"] = arr(w)
+                elif rest in ("norm1.bias", "norm2.bias"):
+                    blk[rest.split(".")[0]]["bias"] = arr(w)
+                elif rest in ("ls1.gamma", "ls1.lambda1"):
+                    blk["ls1"] = arr(w)
+                elif rest in ("ls2.gamma", "ls2.lambda1"):
+                    blk["ls2"] = arr(w)
+                elif rest == "attn.qkv.weight":
+                    blk["attn"]["qkv"]["kernel"] = arr(w.T)
+                elif rest == "attn.qkv.bias":
+                    blk["attn"]["qkv"]["bias"] = arr(w)
+                elif rest == "attn.proj.weight":
+                    blk["attn"]["proj"]["kernel"] = arr(w.T)
+                elif rest == "attn.proj.bias":
+                    blk["attn"]["proj"]["bias"] = arr(w)
+                elif rest in ("mlp.w1.weight", "mlp.fc1.weight"):
+                    name = "mlp_w1" if "w1" in rest else "mlp_fc1"
+                    blk[name]["kernel"] = arr(w.T)
+                elif rest in ("mlp.w1.bias", "mlp.fc1.bias"):
+                    name = "mlp_w1" if "w1" in rest else "mlp_fc1"
+                    blk[name]["bias"] = arr(w)
+                elif rest == "mlp.w2.weight":
+                    blk["mlp_w2"]["kernel"] = arr(w.T)
+                elif rest == "mlp.w2.bias":
+                    blk["mlp_w2"]["bias"] = arr(w)
+                elif rest in ("mlp.w3.weight", "mlp.fc2.weight"):
+                    name = "mlp_w3" if "w3" in rest else "mlp_fc2"
+                    blk[name]["kernel"] = arr(w.T)
+                elif rest in ("mlp.w3.bias", "mlp.fc2.bias"):
+                    name = "mlp_w3" if "w3" in rest else "mlp_fc2"
+                    blk[name]["bias"] = arr(w)
+                elif rest == "mlp.w12.weight":
+                    # fused: rows [w1; w2] stacked on the output dim
+                    h = w.shape[0] // 2
+                    blk["mlp_w1"]["kernel"] = arr(w[:h].T)
+                    blk["mlp_w2"]["kernel"] = arr(w[h:].T)
+                elif rest == "mlp.w12.bias":
+                    h = w.shape[0] // 2
+                    blk["mlp_w1"]["bias"] = arr(w[:h])
+                    blk["mlp_w2"]["bias"] = arr(w[h:])
+                else:
+                    unmatched.append(k)
+            else:
+                unmatched.append(k)
+        except Exception:
+            unmatched.append(k)
+    if unmatched:
+        print(f"[vit/dinov3] {len(unmatched)} unmatched torch keys, e.g. {unmatched[:5]}")
+    return variables

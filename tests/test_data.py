@@ -218,3 +218,110 @@ class TestShardedLoader:
         )
         ids2 = [int(v) for b in dl2 for v in b["idx"]]
         assert set(ids2) == seen[0]
+
+
+@pytest.fixture(scope="module")
+def multi_object_dataset(tmp_path_factory):
+    """One frame holding TWO boxes (distinct mask ids), plus one single-object
+    frame — exercises the eval-mode per-object enumeration."""
+    root = tmp_path_factory.mktemp("omni_multi")
+    K = np.array([[280.0, 0, 160], [0, 280.0, 120], [0, 0, 1]], np.float32)
+    size = np.array([0.1, 0.14, 0.08])
+    specs = [
+        # frame 0: two objects side by side
+        [(np.array([-0.12, 0.0, 0.7]), 7), (np.array([0.12, 0.0, 0.7]), 9)],
+        # frame 1: one object
+        [(np.array([0.0, 0.0, 0.65]), 7)],
+    ]
+    for fi, objs in enumerate(specs):
+        depth = np.zeros((240, 320), np.float32)
+        mask = np.zeros((240, 320), np.int32)
+        metas = []
+        for t, mid in objs:
+            R = ScipyRot.random(random_state=fi * 10 + mid).as_matrix()
+            d, m = render_box_scene(K, R, t, size)
+            put = (d > 0) & ((depth == 0) | (d < depth))
+            depth[put] = d[put]
+            mask[put] = mid
+            metas.append(
+                {
+                    "is_valid": True,
+                    "mask_id": mid,
+                    "quaternion_wxyz": ScipyRot.from_matrix(R)
+                    .as_quat()[[3, 0, 1, 2]]
+                    .tolist(),
+                    "translation": t.tolist(),
+                    "meta": {
+                        "oid": f"box_{mid}",
+                        "class_label": mid,
+                        "class_name": f"box{mid}",
+                        "bbox_side_len": size.tolist(),
+                    },
+                }
+            )
+        prefix = os.path.join(str(root), f"frame{fi:04d}_")
+        cv2.imwrite(prefix + "color.png", np.full((240, 320, 3), 128, np.uint8))
+        cv2.imwrite(prefix + "depth.png", (depth * 1000).astype(np.uint16))
+        cv2.imwrite(prefix + "mask.png", mask.astype(np.uint16))
+        meta = {
+            "camera": {
+                "intrinsics": {
+                    "fx": 280.0, "fy": 280.0, "cx": 160.0, "cy": 120.0,
+                    "width": 320, "height": 240,
+                }
+            },
+            "objects": metas,
+        }
+        with open(prefix + "meta.json", "w") as f:
+            json.dump(meta, f)
+    return str(root)
+
+
+class TestEvalEnumerationAndRNG:
+    def _cfg(self, **kw):
+        return DataConfig(num_points=256, img_size=128, dzi_type="uniform", **kw)
+
+    def test_eval_enumerates_every_object(self, multi_object_dataset):
+        # reference cumsum indexing visits each valid object exactly once
+        # (reference: datasets_omni6dpose.py:179-186, 219-224)
+        ds = Omni6DPoseDataset(self._cfg(), mode="test", data_dir=multi_object_dataset)
+        assert len(ds) == 3  # 2 objects in frame 0 + 1 in frame 1
+        labels = sorted(int(ds[i]["class_label"]) for i in range(len(ds)))
+        assert labels == [7, 7, 9]
+
+    def test_eval_per_obj_filter(self, multi_object_dataset):
+        ds = Omni6DPoseDataset(
+            self._cfg(), mode="test", data_dir=multi_object_dataset, per_obj="box9"
+        )
+        assert len(ds) == 1
+        assert int(ds[0]["class_label"]) == 9
+
+    def test_percentage_data(self, multi_object_dataset):
+        full = Omni6DPoseDataset(self._cfg(), mode="train", data_dir=multi_object_dataset)
+        half = Omni6DPoseDataset(
+            self._cfg(percentage_data=0.5), mode="train", data_dir=multi_object_dataset
+        )
+        assert len(half) == len(full) // 2
+        assert half[0]["pcl_in"].shape == (256, 3)
+
+    def test_threaded_loader_determinism(self, multi_object_dataset):
+        # per-sample RNG derived from (seed, epoch, index): concurrent workers
+        # cannot corrupt draws, and two identical passes match bit-for-bit
+        def run():
+            ds = Omni6DPoseDataset(
+                self._cfg(), mode="train", data_dir=multi_object_dataset
+            )
+            dl = DataLoader(ds, batch_size=4, shuffle=True, seed=3, num_workers=4)
+            return [np.asarray(b["pcl_in"]) for b in dl]
+
+        a, b = run(), run()
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_epoch_changes_augmentation(self, multi_object_dataset):
+        ds = Omni6DPoseDataset(self._cfg(), mode="train", data_dir=multi_object_dataset)
+        s0 = ds[0]["pcl_in"]
+        ds.epoch = 1
+        s1 = ds[0]["pcl_in"]
+        assert not np.array_equal(s0, s1)

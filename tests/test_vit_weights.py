@@ -125,3 +125,195 @@ class TestLikelihood:
         ll = np.asarray(calc_likelihood(agent, state, batch, poses))
         assert np.isfinite(ll).all()
         assert (ll[:, 0] > ll[:, 1]).all()
+
+
+def build_torch_dinov3(dim=32, depth=2, heads=2, patch=8, storage=2, hidden=48,
+                       fused_w12=False):
+    """Minimal DINOv3-style torch ViT (RoPE, storage tokens, SwiGLU,
+    LayerScale, no abs pos-embed) exercising the checkpoint naming the
+    ingestion must handle. Written from the published DINOv3 architecture,
+    NOT copied from any implementation."""
+    hd = dim // heads
+    dq = hd // 4
+
+    def rope_tables_t(periods, gh, gw):
+        ys = (torch.arange(gh, dtype=torch.float32) + 0.5) / gh * 2 - 1
+        xs = (torch.arange(gw, dtype=torch.float32) + 0.5) / gw * 2 - 1
+        coords = torch.stack(
+            [ys.repeat_interleave(gw), xs.repeat(gh)], dim=-1
+        )  # (P, 2)
+        ang = 2 * np.pi * coords[:, :, None] / periods[None, None, :]
+        ang = ang.reshape(gh * gw, -1)
+        ang = torch.cat([ang, ang], dim=-1)
+        return ang.sin(), ang.cos()
+
+    def rope_rotate_t(x, sin, cos):  # x (B, P, H, hd)
+        d = x.shape[-1] // 2
+        rot = torch.cat([-x[..., d:], x[..., :d]], dim=-1)
+        return x * cos[None, :, None, :] + rot * sin[None, :, None, :]
+
+    class SwiGLU(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            if fused_w12:
+                self.w12 = torch.nn.Linear(dim, 2 * hidden)
+            else:
+                self.w1 = torch.nn.Linear(dim, hidden)
+                self.w2 = torch.nn.Linear(dim, hidden)
+            self.w3 = torch.nn.Linear(hidden, dim)
+
+        def forward(self, x):
+            if fused_w12:
+                a, b = self.w12(x).chunk(2, dim=-1)
+            else:
+                a, b = self.w1(x), self.w2(x)
+            return self.w3(torch.nn.functional.silu(a) * b)
+
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = torch.nn.LayerNorm(dim)
+            self.attn = torch.nn.ModuleDict(
+                {"qkv": torch.nn.Linear(dim, 3 * dim), "proj": torch.nn.Linear(dim, dim)}
+            )
+            self.ls1 = torch.nn.ParameterDict(
+                {"gamma": torch.nn.Parameter(torch.full((dim,), 1e-5))}
+            )
+            self.norm2 = torch.nn.LayerNorm(dim)
+            self.mlp = SwiGLU()
+            self.ls2 = torch.nn.ParameterDict(
+                {"gamma": torch.nn.Parameter(torch.full((dim,), 1e-5))}
+            )
+
+        def forward(self, x, sin, cos, prefix):
+            B, N, D = x.shape
+            h = self.norm1(x)
+            qkv = self.attn["qkv"](h).reshape(B, N, 3, heads, hd)
+            q, k, v = qkv.unbind(2)
+
+            def rot(t):
+                return torch.cat(
+                    [t[:, :prefix], rope_rotate_t(t[:, prefix:], sin, cos)], dim=1
+                )
+
+            q, k = rot(q), rot(k)
+            att = torch.softmax(
+                torch.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd), dim=-1
+            )
+            h = torch.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, N, D)
+            x = x + self.attn["proj"](h) * self.ls1["gamma"]
+            x = x + self.mlp(self.norm2(x)) * self.ls2["gamma"]
+            return x
+
+    class RopeEmbed(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            # a non-trivial period buffer (NOT the default formula) to prove
+            # ingestion loads the checkpoint values verbatim
+            self.register_buffer(
+                "periods", torch.linspace(1.3, 37.0, dq), persistent=True
+            )
+
+    class TorchDinoV3(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cls_token = torch.nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+            self.storage_tokens = torch.nn.Parameter(torch.randn(1, storage, dim) * 0.02)
+            self.mask_token = torch.nn.Parameter(torch.zeros(1, dim))
+            self.patch_embed = torch.nn.ModuleDict(
+                {"proj": torch.nn.Conv2d(3, dim, patch, patch)}
+            )
+            self.rope_embed = RopeEmbed()
+            self.blocks = torch.nn.ModuleList([Block() for _ in range(depth)])
+            self.norm = torch.nn.LayerNorm(dim)
+
+        def forward(self, x, intermediate=()):
+            B = x.shape[0]
+            gh, gw = x.shape[2] // patch, x.shape[3] // patch
+            t = self.patch_embed["proj"](x).flatten(2).transpose(1, 2)
+            t = torch.cat(
+                [
+                    self.cls_token.expand(B, -1, -1),
+                    self.storage_tokens.expand(B, -1, -1),
+                    t,
+                ],
+                dim=1,
+            )
+            sin, cos = rope_tables_t(self.rope_embed.periods, gh, gw)
+            outs = []
+            for i, b in enumerate(self.blocks):
+                t = b(t, sin, cos, 1 + storage)
+                if i in intermediate:
+                    outs.append(self.norm(t)[:, 1 + storage:])
+            if intermediate:
+                return outs
+            return self.norm(t)[:, 1 + storage:]
+
+    return TorchDinoV3()
+
+
+class TestDinoV3Ingestion:
+    def _pair(self, fused=False):
+        from genpose2_tpu.models.vit import DinoV3ViT, load_dinov3_state_dict
+
+        torch.manual_seed(1)
+        tv = build_torch_dinov3(fused_w12=fused)
+        vit = DinoV3ViT(
+            patch_size=8, dim=32, depth=2, num_heads=2,
+            num_storage_tokens=2, ffn_hidden=48,
+        )
+        x = np.random.default_rng(1).normal(size=(2, 16, 16, 3)).astype(np.float32)
+        variables = vit.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        loaded = load_dinov3_state_dict(variables, tv.state_dict())
+        return tv, vit, loaded, x
+
+    def test_feature_parity_with_torch(self):
+        tv, vit, loaded, x = self._pair()
+        out_jax = np.asarray(vit.apply(loaded, jnp.asarray(x)))
+        with torch.no_grad():
+            out_torch = tv(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+        np.testing.assert_allclose(out_jax, out_torch, atol=2e-4)
+
+    def test_fused_w12_naming(self):
+        tv, vit, loaded, x = self._pair(fused=True)
+        out_jax = np.asarray(vit.apply(loaded, jnp.asarray(x)))
+        with torch.no_grad():
+            out_torch = tv(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+        np.testing.assert_allclose(out_jax, out_torch, atol=2e-4)
+
+    def test_rope_periods_loaded_verbatim(self):
+        tv, _, loaded, _ = self._pair()
+        np.testing.assert_allclose(
+            np.asarray(loaded["constants"]["rope_periods"]),
+            tv.rope_embed.periods.numpy(),
+        )
+
+    def test_intermediate_layers(self):
+        tv, vit, loaded, x = self._pair()
+        outs = vit.apply(loaded, jnp.asarray(x), (0, 1))
+        with torch.no_grad():
+            t_outs = tv(torch.from_numpy(x).permute(0, 3, 1, 2), (0, 1))
+        assert len(outs) == 2 and outs[0].shape == (2, 4, 32)
+        np.testing.assert_allclose(
+            np.asarray(outs[0]), t_outs[0].numpy(), atol=2e-4
+        )
+
+    def test_s16plus_shape(self):
+        from genpose2_tpu.models.vit import vit_s16plus
+
+        vit = vit_s16plus(depth=2)  # truncated depth for test speed
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = vit.init(jax.random.PRNGKey(0), x)
+        out = vit.apply(variables, x)
+        assert out.shape == (1, 16, 384)
+        # ~29M params at full depth: check per-block count matches S+ math
+        n = sum(
+            np.prod(v.shape)
+            for k, v in jax.tree_util.tree_leaves_with_path(
+                variables["params"]["block_0"]
+            )
+        )
+        # qkv 384*1152+1152, proj 384*384+384, swiglu 2*(384*1536+1536)+1536*384+384,
+        # 2 LN (2*2*384), 2 LS (2*384)
+        expected = (384 * 1152 + 1152) + (384 * 384 + 384) + 2 * (384 * 1536 + 1536) + (1536 * 384 + 384) + 4 * 384 + 2 * 384
+        assert n == expected
