@@ -1,16 +1,21 @@
-"""End-to-end benchmark: pose-candidate throughput of the eval pipeline.
+"""End-to-end benchmark: pose-candidate throughput of the FLAGSHIP eval
+pipeline, from pixels to poses.
 
-Workload = the reference's single-frame evaluation configuration
-(reference: scripts/eval_single.sh, configs/config.py:21,75): batch of 128
-objects x 1024-point clouds, 50 pose candidates each, probability-flow ODE
-from T0=0.55, energy-free aggregation (sort/retain/cluster/average). Encoder,
-sampler, and aggregation all run on device in one jit program.
+Workload = the reference's default single-frame evaluation configuration
+(dino='pointwise', reference: scripts/eval_single.sh, networks/posenet.py:74-75,
+configs/config.py:21,75): a batch of 64 objects (the fork's eval batch,
+scripts/eval_single_my.sh), each a 256px RGB crop + 1024-point cloud —
+frozen DinoV3 ViT-S+/16 -> ImgEncoder layer fusion -> per-point feature
+gather -> transformer-fused PointNet++ -> 50-step probability-flow ODE over
+64 x 50 candidates -> on-device aggregation (sort/retain/cluster/average).
+Encoder, backbone, sampler, and aggregation all run on device in one jit
+program.
 
 Baseline: the reference implements this loop as scipy RK45 on the host
 calling the GPU score model per step (reference: samplers.py:204-234) on one
 RTX 4090. The repo publishes no throughput number (BASELINE.md); we use an
-optimistic estimate of 6,400 candidates/s for vs_baseline — i.e. one ~1 s
-host-looped solve_ivp per 128x50-candidate batch — so the reported ratio is a
+optimistic estimate of 6,400 candidates/s for vs_baseline — i.e. one ~0.5 s
+host-looped solve_ivp per 64x50-candidate batch — so the reported ratio is a
 floor, not a cherry-pick.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -22,7 +27,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from genpose2_tpu.config import default_config
+from genpose2_tpu.config import ModelConfig, PointNet2Config, default_config
 from genpose2_tpu.data.synthetic import SyntheticPoseData
 from genpose2_tpu.eval import aggregate_candidates
 from genpose2_tpu.training import PoseAgent
@@ -31,25 +36,30 @@ BASELINE_CANDIDATES_PER_S = 6400.0  # optimistic reference estimate (see docstri
 
 
 def main():
-    from genpose2_tpu.config import ModelConfig
-
-    # dino='none' path this round: full PointNet++ encoder + ODE + aggregation
-    # (the pointwise-DINO ViT path is benchmarked separately once the image
-    # provider is wired into the eval pipeline)
-    from genpose2_tpu.config import PointNet2Config
-
+    # the FLAGSHIP configuration: pointwise-DINO fusion encoder fed by the
+    # frozen DinoV3 ViT-S+/16 provider, bf16 compute on the frozen/eval paths
     cfg = default_config().replace(
-        model=ModelConfig(dino="none", pointnet2=PointNet2Config(compute_dtype="bfloat16"))
+        model=ModelConfig(
+            dino="pointwise",
+            pointnet2=PointNet2Config(compute_dtype="bfloat16"),
+            backbone_dtype="bfloat16",
+            score_dtype="bfloat16",
+        )
     )
-    B = 128
+    B = 64
     K = cfg.eval.eval_repeat_num  # 50
     N = cfg.model.num_points  # 1024
+    S = cfg.model.img_size  # 256
 
     agent = PoseAgent(cfg, "score", steps_per_epoch=1000)
     data = SyntheticPoseData(num_points=N)
     key = jax.random.PRNGKey(0)
     batch = data.batch(key, B)
     batch = {k: batch[k] for k in ("pts", "zero_mean_gt_pose", "pts_center")}
+    ks = jax.random.split(key, 3)
+    batch["roi_rgb"] = jax.random.normal(ks[0], (B, S, S, 3), jnp.float32)
+    batch["roi_xs"] = jax.random.randint(ks[1], (B, N), 0, S)
+    batch["roi_ys"] = jax.random.randint(ks[2], (B, N), 0, S)
     state = agent.init_state(key, batch)
 
     # Steady-state serving throughput: the host->device dispatch round trip on
@@ -60,23 +70,7 @@ def main():
     # away) and fence ONCE with a D2H read at the end (block_until_ready can
     # resolve before remote execution completes on this backend; the scalar
     # read is the reliable fence).
-    reps = 20
-
-    @jax.jit
-    def pipeline_loop(state, batch, key):
-        def body(carry, k):
-            rot_prev, _ = carry
-            keyk = jax.random.fold_in(key, k)
-            # data dependency on the previous iteration's output
-            b = dict(batch)
-            b["pts"] = batch["pts"] + 0.0 * rot_prev[0, 0, 0]
-            rot, trans = pipeline_once(state, b, keyk)
-            return (rot, trans), None
-
-        rot0 = jnp.zeros((B, 3, 3), jnp.float32)
-        t0 = jnp.zeros((B, 3), jnp.float32)
-        (rot, trans), _ = jax.lax.scan(body, (rot0, t0), jnp.arange(reps))
-        return rot, trans
+    reps = 10
 
     def pipeline_once(state, batch, key):
         poses = agent.sample_candidates(
@@ -91,6 +85,24 @@ def main():
             minpts_ratio=cfg.eval.clustering_minpts_ratio,
         )
         return agg["rotation"], agg["translation"]
+
+    @jax.jit
+    def pipeline_loop(state, batch, key):
+        def body(carry, k):
+            rot_prev, _ = carry
+            keyk = jax.random.fold_in(key, k)
+            # data dependency on the previous iteration's output
+            b = dict(batch)
+            eps = 0.0 * rot_prev[0, 0, 0]
+            b["pts"] = batch["pts"] + eps
+            b["roi_rgb"] = batch["roi_rgb"] + eps
+            rot, trans = pipeline_once(state, b, keyk)
+            return (rot, trans), None
+
+        rot0 = jnp.zeros((B, 3, 3), jnp.float32)
+        t0 = jnp.zeros((B, 3), jnp.float32)
+        (rot, trans), _ = jax.lax.scan(body, (rot0, t0), jnp.arange(reps))
+        return rot, trans
 
     # compile + warm up
     R, t = pipeline_loop(state, batch, jax.random.PRNGKey(10_000))
@@ -108,9 +120,13 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "pose_candidates_per_s_per_chip",
+                "metric": "flagship_pose_candidates_per_s_per_chip",
                 "value": round(cand_per_s, 1),
-                "unit": "candidates/s (B=128 objects, K=50, N=1024, encoder+ODE+aggregation)",
+                "unit": (
+                    "candidates/s (pixels-to-pose: B=64 objects, 256px crops, "
+                    "DinoV3 ViT-S+/16 + fused PointNet++ + 50-step ODE x K=50 "
+                    "+ aggregation)"
+                ),
                 "vs_baseline": round(cand_per_s / BASELINE_CANDIDATES_PER_S, 2),
             }
         )

@@ -77,11 +77,23 @@ class GenPose2TPU:
             "zero_mean_gt_pose": jnp.zeros((B, m.pose_dim)),
             "pts_center": jnp.zeros((B, 3)),
         }
+        if m.dino != "none":
+            if m.backbone != "none":
+                # pixels in the dummy batch -> the agent initializes its
+                # frozen backbone provider; inference batches then carry
+                # roi_rgb and features are computed on device
+                d["roi_rgb"] = jnp.zeros((B, m.img_size, m.img_size, 3))
+            else:  # precomputed-feature mode
+                P = (m.img_size // m.patch_size) ** 2
+                if m.dino == "pointwise":
+                    d["dino_layers"] = [jnp.zeros((B, P, m.dino_dim))] * 3
+                else:
+                    d["dino_global"] = jnp.zeros((B, m.dino_dim))
         if m.dino == "pointwise":
-            P = (m.img_size // m.patch_size) ** 2
-            d["dino_layers"] = [jnp.zeros((B, P, m.dino_dim))] * 3
             d["roi_xs"] = jnp.zeros((B, N), jnp.int32)
             d["roi_ys"] = jnp.zeros((B, N), jnp.int32)
+        if m.dino == "global":
+            d["roi_center_dir"] = jnp.zeros((B, 3))
         return d
 
     # ----------------------------------------------------------- inference

@@ -59,6 +59,7 @@ def build_config(args) -> Config:
         eval_freq=args.eval_freq,
         seed=args.seed,
         optimizer=args.optimizer,
+        scan_chunk=args.scan_chunk,
     )
     ev = EvalConfig(
         eval_repeat_num=args.eval_repeat_num,
@@ -136,21 +137,48 @@ def add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--energy_ckpt", type=str, default=None)
     p.add_argument("--scale_ckpt", type=str, default=None)
     p.add_argument("--steps_per_epoch", type=int, default=1000)
+    # resume training from a full-state checkpoint
+    # (reference: runners/trainer.py:332-345 use_pretrain)
+    p.add_argument("--use_pretrain", action="store_true")
+    p.add_argument("--pretrain_path", type=str, default=None)
+    # device mesh: shard the batch across N devices (0 = all local devices,
+    # 1 = single device); batches lax.scan-stacked per dispatch
+    p.add_argument("--data_parallel", type=int, default=1)
+    p.add_argument("--scan_chunk", type=int, default=8)
+    # multi-host: jax.distributed.initialize per host (SURVEY §2.8)
+    p.add_argument("--multihost", action="store_true")
+    p.add_argument("--coordinator", type=str, default=None)
+    p.add_argument("--num_hosts", type=int, default=None)
+    p.add_argument("--host_id", type=int, default=None)
 
 
 def make_loader_fn(cfg: Config, mode: str, agent_type: str = "score"):
     from genpose2_tpu.data.loader import DataLoader
 
     if cfg.data.source == "synthetic":
+        import jax.numpy as jnp
+
         from genpose2_tpu.data.synthetic import SyntheticPoseData
+        from genpose2_tpu.so3.noise import add_noise_to_R
 
         data = SyntheticPoseData(num_points=cfg.data.num_points)
 
         def loader_fn(epoch, steps_per_epoch=50):
             for i in range(steps_per_epoch):
-                yield data.batch(
-                    jax.random.PRNGKey(epoch * 1000 + i), cfg.train.batch_size
-                )
+                key = jax.random.PRNGKey(epoch * 1000 + i)
+                b = data.batch(key, cfg.train.batch_size)
+                if agent_type == "scale":
+                    # noised GT axes for scale training (reference:
+                    # datasets_omni6dpose.py:399-415, 10-deg jitter x S)
+                    S = cfg.train.scale_batch_size
+                    B = b["gt_rotation"].shape[0]
+                    rep = jnp.repeat(b["gt_rotation"], S, axis=0)
+                    noised = add_noise_to_R(
+                        jax.random.fold_in(key, 7), rep, r_deg=10.0
+                    )
+                    b = dict(b)
+                    b["axes_training"] = noised.reshape(B, S, 3, 3)
+                yield b
 
         return loader_fn
     if cfg.data.source == "xyzibd":
@@ -175,6 +203,20 @@ def cmd_train(args):
     from genpose2_tpu.training.trainer import Trainer
     from genpose2_tpu.data.loader import process_batch
 
+    if args.multihost:
+        from genpose2_tpu.parallel.distributed import initialize_multihost
+
+        initialize_multihost(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_hosts,
+            process_id=args.host_id,
+        )
+    mesh = None
+    if args.data_parallel != 1:
+        from genpose2_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.data_parallel, cand=1)
+
     frozen = None
     if args.agent_type in ("energy_with_ranking", "scale") and args.score_ckpt:
         from genpose2_tpu.training.agent import PoseAgent
@@ -195,37 +237,75 @@ def cmd_train(args):
         log_dir=args.log_dir,
         score_ckpt=args.score_ckpt,
         frozen_score=frozen,
+        mesh=mesh,
+        resume_from=args.pretrain_path if args.use_pretrain else None,
     )
-    loader_fn = make_loader_fn(cfg, "train", args.agent_type)
+    base_loader = make_loader_fn(cfg, "train", args.agent_type)
+    if cfg.data.source == "synthetic":
+        loader_fn = lambda e: base_loader(e, args.steps_per_epoch)  # noqa: E731
+    else:
+        loader_fn = base_loader
     first = next(iter(loader_fn(0)))
     batch0 = first if "zero_mean_gt_pose" in first else process_batch(first, cfg.model.pose_mode)
     trainer.init(jax.random.PRNGKey(cfg.train.seed), batch0)
     trainer.fit(loader_fn)
 
 
-def cmd_eval(args):
-    cfg = build_config(args)
-    from genpose2_tpu.data.loader import process_batch
-    from genpose2_tpu.eval.pipeline import SingleFrameEvaluator
-    from genpose2_tpu.training.agent import PoseAgent
+def _load_eval_agents(cfg, args, batch0):
+    """score (required) + optional energy agent + optional ScaleNet predictor,
+    the reference's three-agent eval/tracking wiring
+    (reference: runners/evaluation_single.py:222-288,
+    evaluation_tracking.py:87-107)."""
+    from genpose2_tpu.training.agent import PoseAgent, ScaleAgent
     from genpose2_tpu.training.checkpoint import load_params_only
 
-    loader_fn = make_loader_fn(cfg, "test")
-    batches = [
-        b if "zero_mean_gt_pose" in b else process_batch(b, cfg.model.pose_mode)
-        for b in loader_fn(0)
-    ]
     sa = PoseAgent(cfg, "score")
-    ss = sa.init_state(jax.random.PRNGKey(0), batches[0])
+    ss = sa.init_state(jax.random.PRNGKey(0), batch0)
     if args.score_ckpt:
         ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg)
     ea = es = None
     if args.energy_ckpt:
         ea = PoseAgent(cfg, "energy")
-        es = ea.init_state(jax.random.PRNGKey(0), batches[0])
+        es = ea.init_state(jax.random.PRNGKey(0), batch0)
         es = load_params_only(args.energy_ckpt, es, use_ema_as_params=True, cfg=cfg)
-    ev = SingleFrameEvaluator(cfg, sa, ss, ea, es, out_dir=os.path.join(args.log_dir, "eval"))
-    metrics = ev.run(batches)
+    scale_fn = None
+    if args.scale_ckpt:
+        sc = ScaleAgent(cfg)
+        pts_dim = int(sa.extract_features(ss, batch0)[0].shape[-1])
+        scs = sc.init_state(jax.random.PRNGKey(0), pts_dim=pts_dim)
+        scs = load_params_only(args.scale_ckpt, scs, use_ema_as_params=True, cfg=cfg)
+
+        def scale_fn(batch, R, t):
+            # ScaleNet consumes the frozen score encoder's feature + the
+            # predicted axes (reference: evaluation_single.py:222-288)
+            pts_feat, _ = sa.extract_features(ss, batch)
+            return sc.predict(scs, pts_feat, R)
+
+    return sa, ss, ea, es, scale_fn
+
+
+def cmd_eval(args):
+    cfg = build_config(args)
+    from itertools import chain
+
+    from genpose2_tpu.data.loader import process_batch
+    from genpose2_tpu.eval.pipeline import SingleFrameEvaluator
+
+    loader_fn = make_loader_fn(cfg, "test")
+    it = iter(loader_fn(0))
+
+    def proc(b):
+        return b if "zero_mean_gt_pose" in b else process_batch(b, cfg.model.pose_mode)
+
+    first_raw = next(it)
+    batch0 = proc(first_raw)
+    sa, ss, ea, es, scale_fn = _load_eval_agents(cfg, args, batch0)
+    ev = SingleFrameEvaluator(
+        cfg, sa, ss, ea, es, scale_fn=scale_fn,
+        out_dir=os.path.join(args.log_dir, "eval"),
+    )
+    # streaming: one batch fully evaluated at a time, constant device memory
+    metrics = ev.run_streaming(proc(b) for b in chain([first_raw], it))
     print("deg_mean:", metrics.deg_mean, "sht_mean:", metrics.sht_mean)
     print("iou_acc:", metrics.iou_acc)
     print("pose_acc:", metrics.pose_acc)
@@ -237,21 +317,17 @@ def cmd_track(args):
     from genpose2_tpu.data.tracking import open_video_datasets
     from genpose2_tpu.eval.tracking import PoseTracker
     from genpose2_tpu.eval.tracking_multiplex import track_videos_multiplexed, tracking_metrics
-    from genpose2_tpu.training.agent import PoseAgent
-    from genpose2_tpu.training.checkpoint import load_params_only
+    from genpose2_tpu.data.loader import process_batch
 
     videos = open_video_datasets(
         cfg.data, cfg.data.data_path, fail_log=os.path.join(args.log_dir, "tracking_fail.txt")
     )
-    first = videos[0][0]
-    from genpose2_tpu.data.loader import process_batch
-
-    batch0 = process_batch(first, cfg.model.pose_mode)
-    sa = PoseAgent(cfg, "score")
-    ss = sa.init_state(jax.random.PRNGKey(0), batch0)
-    if args.score_ckpt:
-        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg)
-    tracker = PoseTracker(cfg, sa, ss, T0=args.T0, num_steps=args.sampling_steps)
+    batch0 = process_batch(videos[0][0], cfg.model.pose_mode)
+    sa, ss, ea, es, scale_fn = _load_eval_agents(cfg, args, batch0)
+    tracker = PoseTracker(
+        cfg, sa, ss, ea, es, scale_fn=scale_fn,
+        T0=args.T0, num_steps=args.sampling_steps,
+    )
     results = track_videos_multiplexed(
         tracker, videos, jax.random.PRNGKey(0), object_budget=cfg.eval.batch_size
     )

@@ -97,9 +97,12 @@ def track_videos_multiplexed(
             if total + n > object_budget and total > 0:
                 s.frame_idx -= 1  # put the frame back
                 break
+            # a single frame larger than the budget is admitted alone and
+            # processed in budget-size slices below (objects are independent,
+            # so slicing the step is exact)
             chunks.append((s, batch, n))
             total += n
-            if total > object_budget - 8:
+            if total > object_budget - 8 or n > object_budget:
                 break
         for s in done_streams:
             active.remove(s)
@@ -127,12 +130,26 @@ def track_videos_multiplexed(
             prevs.append(s.prev_pose)
         prev = jnp.concatenate(prevs, axis=0)
         n_real = big["pts"].shape[0]
-        big = _pad_batch(big, object_budget)
-        prev = jnp.concatenate(
-            [prev, jnp.repeat(prev[-1:], object_budget - n_real, axis=0)], axis=0
-        ) if n_real < object_budget else prev
 
-        out = tracker.step(big, prev, k_step)
+        # run in budget-size slices (normally exactly one): handles frames
+        # with more objects than the budget without a negative pad
+        # (reference slices arbitrary-size batches eagerly,
+        # evaluation_tracking.py:261-331)
+        outs = []
+        for off in range(0, n_real, object_budget):
+            sl = slice(off, off + object_budget)
+            sub = {k: v[sl] for k, v in big.items()}
+            sub_prev = prev[sl]
+            m = sub["pts"].shape[0]
+            sub = _pad_batch(sub, object_budget)
+            if m < object_budget:
+                sub_prev = jnp.concatenate(
+                    [sub_prev, jnp.repeat(sub_prev[-1:], object_budget - m, axis=0)],
+                    axis=0,
+                )
+            o = tracker.step(sub, sub_prev, jax.random.fold_in(k_step, off))
+            outs.append({k2: v[:m] for k2, v in o.items()})
+        out = {k2: jnp.concatenate([o[k2] for o in outs], axis=0) for k2 in outs[0]}
 
         off = 0
         for s, batch, n in chunks:

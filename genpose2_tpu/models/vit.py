@@ -24,6 +24,45 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _patch_embed_matmul(module, x, dim: int, p: int, dtype):
+    """Patchify as reshape + ONE MXU matmul instead of a stride-p conv.
+
+    A (p, p)-kernel stride-p convolution is mathematically a dense layer over
+    flattened patches, but XLA lowers the strided conv poorly on TPU (im2col
+    expansions off the MXU fast path). Parameters keep the Conv layout
+    (kernel (p, p, 3, dim)) so checkpoint ingestion is unchanged."""
+    B, H, W, C = x.shape
+    gh, gw = H // p, W // p
+    kernel = module.param(
+        "kernel",
+        nn.initializers.lecun_normal(),
+        (p, p, C, dim),
+    )
+    bias = module.param("bias", nn.initializers.zeros, (dim,))
+    patches = x.reshape(B, gh, p, gw, p, C).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(B, gh * gw, p * p * C)
+    w = kernel.reshape(p * p * C, dim)
+    if dtype is not None:
+        patches = patches.astype(dtype)
+        w = w.astype(dtype)
+    tokens = (
+        jnp.dot(patches, w, preferred_element_type=jnp.float32) + bias
+    )
+    return tokens  # (B, gh*gw, dim) f32
+
+
+class PatchEmbed(nn.Module):
+    """Conv-parameter-compatible patch embedding (see _patch_embed_matmul)."""
+
+    dim: int
+    patch: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _patch_embed_matmul(self, x, self.dim, self.patch, self.dtype)
+
+
 class ViTBlock(nn.Module):
     dim: int
     num_heads: int
@@ -66,17 +105,21 @@ class ViT(nn.Module):
     dtype: Optional[jnp.dtype] = None  # matmul compute dtype (params stay f32)
 
     @nn.compact
-    def __call__(self, x, intermediate: Sequence[int] = (), norm: bool = True):
+    def __call__(
+        self,
+        x,
+        intermediate: Sequence[int] = (),
+        norm: bool = True,
+        return_class_token: bool = False,
+    ):
         """x (B, H, W, 3) -> final tokens (B, P, dim); with ``intermediate``
         also returns the listed blocks' patch tokens (norm'd), mirroring
-        dinov2's get_intermediate_layers."""
+        dinov2's get_intermediate_layers. ``return_class_token`` returns the
+        final normed CLS embedding (B, dim) instead (the dino='global' feature,
+        reference: posenet.py:316-337)."""
         B, H, W, _ = x.shape
         p = self.patch_size
-        tokens = nn.Conv(
-            self.dim, (p, p), strides=(p, p), name="patch_embed", dtype=self.dtype
-        )(x)
-        tokens = tokens.astype(jnp.float32)
-        tokens = tokens.reshape(B, -1, self.dim)
+        tokens = PatchEmbed(self.dim, p, name="patch_embed", dtype=self.dtype)(x)
         P = tokens.shape[1]
 
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
@@ -109,6 +152,8 @@ class ViT(nn.Module):
                 outputs.append(t[:, skip:])
         if intermediate:
             return outputs
+        if return_class_token:
+            return final_norm(tokens)[:, 0]
         return final_norm(tokens)[:, skip:]
 
 
@@ -245,14 +290,17 @@ class DinoV3ViT(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, intermediate: Sequence[int] = (), norm: bool = True):
+    def __call__(
+        self,
+        x,
+        intermediate: Sequence[int] = (),
+        norm: bool = True,
+        return_class_token: bool = False,
+    ):
         B, Hpx, Wpx, _ = x.shape
         p = self.patch_size
         gh, gw = Hpx // p, Wpx // p
-        tokens = nn.Conv(
-            self.dim, (p, p), strides=(p, p), name="patch_embed", dtype=self.dtype
-        )(x)
-        tokens = tokens.astype(jnp.float32).reshape(B, gh * gw, self.dim)
+        tokens = PatchEmbed(self.dim, p, name="patch_embed", dtype=self.dtype)(x)
 
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
         sto = self.param(
@@ -295,6 +343,8 @@ class DinoV3ViT(nn.Module):
                 outputs.append(t[:, num_prefix:])
         if intermediate:
             return outputs
+        if return_class_token:
+            return final_norm(tokens)[:, 0]
         return final_norm(tokens)[:, num_prefix:]
 
 

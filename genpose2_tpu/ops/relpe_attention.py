@@ -22,11 +22,17 @@ The three linear bias stages are folded outside the kernel: since
 bias = (concat(db, dr)) @ Wf is linear in db/dr, precompute
 Wfd = W2d @ Wf[:8], Wfr = W2r @ Wf[8:], bc = b2d@Wf[:8] + b2r@Wf[8:] + bf,
 so the kernel accumulates the H per-head bias planes directly in the
-16-channel loop (2*H FMAs/channel) instead of materializing 16 db/dr planes
-(2*8 FMAs/channel) and re-mixing them per head — ~2x fewer VPU plane ops and
-4x less VMEM for the bias state.
+16-channel loop. At the production config (H=8, nb=8, config.py) the
+accumulate cost is the same 2*H = 2*nb = 16 FMAs/channel; the saving is the
+eliminated per-head RE-MIX pass (~1.5x fewer bias plane ops overall) and the
+bias state shrinking from 2*nb = 16 planes to H = 8 (2x VMEM). For H < 8 the
+fold wins proportionally more. The fold itself is exact — no nonlinearity
+follows the second Linear (reference: attention.py:648-735).
 
-Parity vs the XLA modules is asserted in tests/test_ops.py.
+Parity vs the XLA modules is asserted in tests/test_ops.py; Mosaic lowering
+of this folded form at the flagship stage-0 shape is exercised on real TPU
+hardware by scripts/verify_relpe_tpu.py (see its header for the recorded
+result).
 """
 
 from __future__ import annotations
@@ -50,13 +56,14 @@ def _kernel(
     *, scale, n_valid,
 ):
     """One (batch row, query tile): q (1, H, TQ, D), k/v (1, H, M, D),
-    qx.. (1, TQ), kx.. (1, M), out (1, H, TQ, D)."""
+    qx.. (1, TQ, 1) sublane-major, kx.. (1, 1, M) lane-major,
+    out (1, H, TQ, D)."""
     H, TQ, D = q_ref.shape[1:]
     M = k_ref.shape[2]
 
-    qx = qx_ref[0].reshape(TQ, 1)
-    qy = qy_ref[0].reshape(TQ, 1)
-    qz = qz_ref[0].reshape(TQ, 1)
+    qx = qx_ref[0]  # (TQ, 1)
+    qy = qy_ref[0]
+    qz = qz_ref[0]
     kx = kx_ref[0]  # (1, M)
     ky = ky_ref[0]
     kz = kz_ref[0]
@@ -121,7 +128,11 @@ def relpe_attention(xyz, q, k, v, pe_params, num_heads: int):
     D = C // H
 
     Mp = ((M + 127) // 128) * 128
-    TQ = min(128, Mp)
+    # VMEM stack budget: the kernel holds H bias planes + ~10 temporary
+    # (TQ, M) planes. At H=8, M=512 a TQ=128 tile needs ~18.5 MB of scoped
+    # VMEM — over the 16 MB/core limit (measured: Mosaic AOT OOM on v5e).
+    # TQ=64 halves every TQxM plane and compiles with headroom.
+    TQ = min(128 if num_heads <= 4 else 64, Mp)
     xyz = jax.lax.stop_gradient(xyz).astype(jnp.float32)
     if Mp != M:
         xyz = jnp.pad(xyz, ((0, 0), (0, Mp - M), (0, 0)), constant_values=1e6)
@@ -133,6 +144,9 @@ def relpe_attention(xyz, q, k, v, pe_params, num_heads: int):
         return t.reshape(B, Mp, H, D).transpose(0, 2, 1, 3)
 
     qh, kh, vh = heads(q), heads(k), heads(v)
+    # query-side coordinates sublane-major (B, Mp, 1) so a TQ < 128 tile is a
+    # legal block (lane dim 1 == full array); key-side stay lane-major
+    xq_, yq_, zq_ = (xyz[..., i][:, :, None] for i in range(3))  # (B, Mp, 1)
     x_, y_, z_ = (xyz[..., i][:, None, :] for i in range(3))  # (B, 1, Mp)
 
     p = jax.tree.map(lambda a: a.astype(jnp.float32), pe_params)
@@ -161,7 +175,7 @@ def relpe_attention(xyz, q, k, v, pe_params, num_heads: int):
     ]
 
     grid = (B, Mp // TQ)
-    qrow_spec = pl.BlockSpec((1, 1, TQ), lambda b, m: (b, 0, m), memory_space=pltpu.VMEM)
+    qrow_spec = pl.BlockSpec((1, TQ, 1), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM)
     krow_spec = pl.BlockSpec((1, 1, Mp), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=1.0 / (D**0.5), n_valid=M),
@@ -179,6 +193,6 @@ def relpe_attention(xyz, q, k, v, pe_params, num_heads: int):
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Mp, D), jnp.float32),
         interpret=jax.default_backend() == "cpu",
-    )(x_, y_, z_, x_, y_, z_, qh, kh, vh, *wa)
+    )(xq_, yq_, zq_, x_, y_, z_, qh, kh, vh, *wa)
 
     return out.transpose(0, 2, 1, 3).reshape(B, Mp, C)[:, :M]

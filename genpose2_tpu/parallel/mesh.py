@@ -61,3 +61,14 @@ def replicate(tree, mesh: Mesh):
 def shard_candidates(mesh: Mesh):
     """Sharding for (B, K, ...) candidate tensors: B on 'data', K on 'cand'."""
     return NamedSharding(mesh, P("data", "cand"))
+
+
+def shard_stacked_batch(batches: dict, mesh: Mesh) -> dict:
+    """Place a (S, B, ...) scan-stacked batch pytree with the BATCH axis
+    (axis 1) sharded on 'data' — the layout consumed by
+    PoseAgent.train_steps under a mesh."""
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P(None, "data")))
+
+    return jax.tree.map(put, batches)

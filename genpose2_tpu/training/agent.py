@@ -34,6 +34,11 @@ from genpose2_tpu.config import Config
 from genpose2_tpu.diffusion import init_sde, ode_sampler, pc_sampler
 from genpose2_tpu.diffusion.losses import dsm_loss
 from genpose2_tpu.models.posenet import GFObjectPose
+from genpose2_tpu.models.provider import (
+    ImageFeatureProvider,
+    attach_provider_variables,
+    split_provider_variables,
+)
 from genpose2_tpu.models.scalenet import ScaleNet, scale_loss
 from genpose2_tpu.models.fast_encoder import fast_cls_forward, fast_fus_forward
 from genpose2_tpu.models.scorenet import make_fast_score_fn
@@ -78,6 +83,13 @@ class PoseAgent:
         self.sde = init_sde(cfg.sde)
         self.marginal_std_fn = lambda t: self.sde.marginal_prob(None, t)[1]
         self.model = GFObjectPose(cfg.model, self.marginal_std_fn, self.agent_type)
+        # frozen image backbone: owned here (not by the model), mirroring the
+        # reference's out-of-repo torch.hub asset (reference: posenet.py:56-62)
+        self.provider = (
+            ImageFeatureProvider(cfg.model)
+            if cfg.model.dino != "none" and cfg.model.backbone != "none"
+            else None
+        )
         self.lr_schedule = make_lr_schedule(cfg, steps_per_epoch)
         opt = {
             "adam": optax.adam(self.lr_schedule),
@@ -87,11 +99,15 @@ class PoseAgent:
 
     # ------------------------------------------------------------------ init
     def init_state(self, key, sample_batch) -> TrainState:
-        kp, ka, kd = jax.random.split(key, 3)
+        kp, ka, kd, kv = jax.random.split(key, 4)
         B = sample_batch["pts"].shape[0]
         init_batch = dict(sample_batch)
         init_batch.setdefault("sampled_pose", jnp.zeros((B, self.cfg.model.pose_dim)))
         init_batch.setdefault("t", jnp.full((B, 1), 0.5))
+        provider_vars = None
+        if self.provider is not None and self._needs_provider(init_batch):
+            provider_vars = self.provider.init(kv)
+            init_batch = self._apply_provider(provider_vars, init_batch)
         variables = self.model.init(
             {"params": kp, "aug": ka, "dropout": kd}, init_batch, False
         )
@@ -100,21 +116,74 @@ class PoseAgent:
             step=jnp.asarray(0, jnp.int32),
             params=params,
             batch_stats=variables.get("batch_stats", {}),
-            constants=variables.get("constants", {}),
+            constants=attach_provider_variables(
+                variables.get("constants", {}), provider_vars
+            ),
             opt_state=self.tx.init(params),
             ema_params=ema_init(params),
             ema_updates=jnp.asarray(0, jnp.float32),
         )
 
     def _variables(self, state: TrainState, use_ema: bool = False):
+        constants, _ = split_provider_variables(state.constants)
         return {
             "params": state.ema_params if use_ema else state.params,
             "batch_stats": state.batch_stats,
-            "constants": state.constants,
+            "constants": constants,
         }
+
+    # ----------------------------------------------------- image features
+    def _needs_provider(self, batch) -> bool:
+        """True when the batch carries pixels but not the dino features the
+        configured mode consumes (precomputed-feature batches skip the
+        backbone entirely)."""
+        m = self.cfg.model
+        if "roi_rgb" not in batch:
+            return False
+        if m.dino == "pointwise":
+            return "dino_layers" not in batch
+        if m.dino == "global":
+            return "dino_global" not in batch
+        return False
+
+    def _apply_provider(self, provider_vars, batch):
+        """Compute the frozen backbone's features from ``roi_rgb`` pixels
+        unless the batch already carries them (precomputed-feature runs). The
+        reference runs this inside every forward
+        (reference: posenet.py:127-228); here it happens once per step,
+        outside the gradient path (the backbone is frozen)."""
+        m = self.cfg.model
+        if m.dino == "pointwise" and "dino_layers" not in batch and "roi_rgb" in batch:
+            batch = dict(batch)
+            batch["dino_layers"] = self.provider.patch_features(
+                provider_vars, batch["roi_rgb"]
+            )
+        if m.dino == "global" and "dino_global" not in batch and "roi_rgb" in batch:
+            batch = dict(batch)
+            batch["dino_global"] = self.provider.global_feature(
+                provider_vars, batch["roi_rgb"]
+            )
+        return batch
+
+    def with_image_features(self, state: TrainState, batch):
+        """Public entry: batch -> batch with dino features attached."""
+        if self.provider is None:
+            return batch
+        _, provider_vars = split_provider_variables(state.constants)
+        if provider_vars is None:
+            return batch
+        return self._apply_provider(provider_vars, batch)
+
+    def load_backbone(self, state: TrainState, state_dict) -> TrainState:
+        """Ingest a torch backbone checkpoint into the provider variables."""
+        assert self.provider is not None
+        consts, provider_vars = split_provider_variables(state.constants)
+        loaded = self.provider.load_torch_state_dict(provider_vars, state_dict)
+        return state.replace(constants=attach_provider_variables(consts, loaded))
 
     # ------------------------------------------------------------- features
     def extract_features(self, state: TrainState, batch, use_ema: bool = True):
+        batch = self.with_image_features(state, batch)
         v = self._variables(state, use_ema)
         enc_vars = {
             "params": v["params"].get("pts_encoder"),
@@ -189,6 +258,7 @@ class PoseAgent:
         is this same agent architecture with frozen ``teacher_state`` (EMA
         params)."""
         k_aug, k_drop, k_loss, _ = jax.random.split(key, 4)
+        batch = self.with_image_features(state, batch)
 
         teacher_feat, teacher_rgb = self._teacher_features(teacher_state, batch)
         t_vars = self._variables(teacher_state, use_ema=True)
@@ -296,6 +366,8 @@ class PoseAgent:
         'candidate_poses' (B, K, D) + 'candidate_metrics' (B, K, 2) when
         ranking. Returns (new_state, metrics dict)."""
         k_aug, k_drop, k_loss, k_rank = jax.random.split(key, 4)
+        # frozen-backbone features computed once, outside the grad closure
+        batch = self.with_image_features(state, batch)
 
         def loss_fn(params):
             variables = {

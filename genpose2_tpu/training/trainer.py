@@ -85,12 +85,17 @@ class Trainer:
         log_dir: Optional[str] = None,
         score_ckpt: Optional[str] = None,
         frozen_score: Optional[tuple] = None,  # (PoseAgent, TrainState)
+        mesh=None,  # jax.sharding.Mesh for data-parallel training
+        resume_from: Optional[str] = None,  # full-state checkpoint path
     ):
         self.cfg = cfg
         self.agent_type = agent_type or cfg.train.agent_type
         self.log_dir = log_dir or cfg.log_dir
         os.makedirs(self.log_dir, exist_ok=True)
         self.logger = MetricsLogger(self.log_dir, self.agent_type)
+        self.steps_per_epoch = steps_per_epoch
+        self.mesh = mesh
+        self.resume_from = resume_from
 
         base_type = "energy" if self.agent_type.startswith("energy") else self.agent_type
         if base_type == "scale":
@@ -105,6 +110,11 @@ class Trainer:
     def init(self, key, sample_batch):
         if isinstance(self.agent, ScaleAgent):
             pts_dim = 1024
+            if self.frozen_score is not None and sample_batch is not None:
+                # ScaleNet consumes the frozen score encoder's feature —
+                # size it from an actual forward, not an assumed width
+                sa, ss = self.frozen_score
+                pts_dim = int(sa.extract_features(ss, sample_batch)[0].shape[-1])
             self.state = self.agent.init_state(key, pts_dim)
         else:
             self.state = self.agent.init_state(key, sample_batch)
@@ -112,55 +122,125 @@ class Trainer:
                 # energy net warm-started from score weights + zeroed heads
                 self.state = load_params_only(self.score_ckpt, self.state, cfg=self.cfg)
                 self.state = zero_init_energy_heads(self.state)
+        if self.resume_from:
+            # exact resume: step/optimizer/EMA restored
+            # (reference: runners/trainer.py:332-345 use_pretrain)
+            from genpose2_tpu.training.checkpoint import load_checkpoint
+
+            self.state = load_checkpoint(self.resume_from, self.state)
+        if self.mesh is not None:
+            from genpose2_tpu.parallel.mesh import replicate
+
+            self.state = replicate(self.state, self.mesh)
         return self.state
 
     # ----------------------------------------------------------- one epoch
+    def _prepare(self, raw, key):
+        """Host-side batch prep: process_batch + per-type extras."""
+        batch = (
+            raw
+            if "zero_mean_gt_pose" in raw or isinstance(self.agent, ScaleAgent)
+            else process_batch(raw, self.cfg.model.pose_mode)
+        )
+        if isinstance(self.agent, ScaleAgent):
+            sa, ss = self.frozen_score
+            pts_feat, _ = sa.extract_features(ss, batch)
+            return {
+                "pts_feat": pts_feat,
+                "axes_training": batch["axes_training"],
+                "gt_length": batch["bbox_side_len"],
+            }
+        if self.agent_type == "energy_with_ranking":
+            sa, ss = self.frozen_score
+            cand, cmet = candidate_metrics_for_ranking(
+                sa, ss, batch, key, self.cfg.train.ranking_num
+            )
+            batch = dict(batch)
+            batch["candidate_poses"] = cand
+            batch["candidate_metrics"] = cmet
+        return batch
+
+    def _dispatch_chunk(self, chunk, key):
+        """One device dispatch for >=1 prepared batches: a single train_step,
+        or a lax.scan over the stacked chunk (PoseAgent.train_steps) — the
+        optimizer state stays device-resident and the ~30 ms/dispatch host
+        round trip is amortized over scan_chunk steps."""
+        if len(chunk) == 1:
+            batch = chunk[0]
+            if self.mesh is not None:
+                from genpose2_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
+            return self.agent.train_step(self.state, batch, key)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *chunk)
+        if self.mesh is not None:
+            from genpose2_tpu.parallel.mesh import shard_stacked_batch
+
+            stacked = shard_stacked_batch(stacked, self.mesh)
+        state, metrics = self.agent.train_steps(self.state, stacked, key)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
     def train_epoch(self, batches: Iterable[dict], epoch: int, key):
         t0 = time.time()
-        n = 0
         last = {}
-        for i, raw in enumerate(batches):
-            batch = (
-                raw
-                if "zero_mean_gt_pose" in raw or isinstance(self.agent, ScaleAgent)
-                else process_batch(raw, self.cfg.model.pose_mode)
+        # distillation and ScaleAgent keep the step-per-dispatch path (the
+        # teacher forward / frozen-feature extraction are separate programs)
+        scannable = (
+            not isinstance(self.agent, ScaleAgent)
+            and not (self.cfg.train.distillation and self.frozen_score is not None)
+            and hasattr(self.agent, "train_steps")
+        )
+        chunk_size = max(1, self.cfg.train.scan_chunk) if scannable else 1
+        chunk, shapes = [], None
+        pixel_cap_applied = False
+        i = 0
+
+        def flush():
+            nonlocal chunk, last, i
+            if not chunk:
+                return
+            self.state, metrics = self._dispatch_chunk(
+                chunk, jax.random.fold_in(key, i)
             )
-            k = jax.random.fold_in(key, i)
-            if isinstance(self.agent, ScaleAgent):
-                sa, ss = self.frozen_score
-                pts_feat, _ = sa.extract_features(ss, batch)
-                sbatch = {
-                    "pts_feat": pts_feat,
-                    "axes_training": batch["axes_training"],
-                    "gt_length": batch["bbox_side_len"],
-                }
-                self.state, metrics = self.agent.train_step(self.state, sbatch, k)
-            else:
-                if self.agent_type == "energy_with_ranking":
-                    sa, ss = self.frozen_score
-                    cand, cmet = candidate_metrics_for_ranking(
-                        sa, ss, batch, k, self.cfg.train.ranking_num
-                    )
-                    batch = dict(batch)
-                    batch["candidate_poses"] = cand
-                    batch["candidate_metrics"] = cmet
-                if (
-                    self.cfg.train.distillation
-                    and self.agent_type == "score"
-                    and self.frozen_score is not None
-                ):
-                    # teacher-score distillation (reference: losses.py:81-86,
-                    # --distillation flag): target = frozen teacher's score
+            last = metrics
+            if (i // max(chunk_size, 1)) % 8 == 0:
+                self.logger.log(int(self.state.step), metrics)
+            i += len(chunk)
+            chunk = []
+
+        for raw in batches:
+            batch = self._prepare(raw, jax.random.fold_in(key, 10_000 + i + len(chunk)))
+            if isinstance(self.agent, ScaleAgent) or (
+                self.cfg.train.distillation
+                and self.agent_type == "score"
+                and self.frozen_score is not None
+            ):
+                k = jax.random.fold_in(key, i)
+                if isinstance(self.agent, ScaleAgent):
+                    self.state, last = self.agent.train_step(self.state, batch, k)
+                else:
                     _, teacher_state = self.frozen_score
-                    self.state, metrics = self.agent.train_step_distilled(
+                    self.state, last = self.agent.train_step_distilled(
                         self.state, teacher_state, batch, k
                     )
-                else:
-                    self.state, metrics = self.agent.train_step(self.state, batch, k)
-            n += 1
-            last = metrics
-            if i % 50 == 0:
-                self.logger.log(int(self.state.step), metrics)
+                i += 1
+                if i % 50 == 0:
+                    self.logger.log(int(self.state.step), last)
+                continue
+            if not pixel_cap_applied and "roi_rgb" in batch:
+                # pixel batches are ~100x larger than point batches; cap the
+                # stacked-chunk depth so the scan buffer stays in HBM bounds
+                chunk_size = min(chunk_size, 2)
+                pixel_cap_applied = True
+            # stack only identical-shape batches (ragged tails flush early)
+            bshapes = jax.tree.map(lambda x: getattr(x, "shape", None), batch)
+            if chunk and bshapes != shapes:
+                flush()
+            shapes = bshapes
+            chunk.append(batch)
+            if len(chunk) >= chunk_size:
+                flush()
+        flush()
         dt = time.time() - t0
         self.logger.log(
             int(self.state.step),
@@ -177,7 +257,9 @@ class Trainer:
         called every cfg.train.eval_freq epochs (reference: trainer.py:87-103)."""
         key = jax.random.PRNGKey(self.cfg.train.seed) if key is None else key
         epochs = epochs or self.cfg.train.n_epochs
-        for epoch in range(1, epochs + 1):
+        # resume mid-run: skip the epochs already recorded in the restored step
+        start = int(self.state.step) // max(self.steps_per_epoch, 1) + 1
+        for epoch in range(start, epochs + 1):
             metrics = self.train_epoch(loader_fn(epoch), epoch, jax.random.fold_in(key, epoch))
             if epoch % self.cfg.train.eval_freq == 0 or epoch == epochs:
                 if eval_fn is not None:

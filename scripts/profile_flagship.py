@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from genpose2_tpu.config import ModelConfig, PointNet2Config, default_config
 from genpose2_tpu.data.synthetic import SyntheticPoseData
 from genpose2_tpu.eval import aggregate_candidates
-from genpose2_tpu.models.vit import vit_s16
+
 from genpose2_tpu.training import PoseAgent
 
 REPS = 10
@@ -47,33 +47,34 @@ def main():
             dino="pointwise",
             img_size=img,
             pointnet2=PointNet2Config(compute_dtype="bfloat16"),
+            backbone_dtype="bfloat16",
+            score_dtype="bfloat16",
         )
     )
-    grid = img // cfg.model.patch_size
-    vit = vit_s16(dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     crops = jax.random.uniform(key, (B, img, img, 3), jnp.float32)
-    vit_vars = vit.init(key, crops[:1])
 
     data = SyntheticPoseData(num_points=N)
     batch = data.batch(key, B)
     batch = {k: batch[k] for k in ("pts", "zero_mean_gt_pose", "pts_center")}
     batch["roi_xs"] = jax.random.randint(key, (B, N), 0, img).astype(jnp.float32)
     batch["roi_ys"] = jax.random.randint(key, (B, N), 0, img).astype(jnp.float32)
+    batch["roi_rgb"] = crops
     agent = PoseAgent(cfg, "score", steps_per_epoch=1000)
+    state = agent.init_state(key, batch)
+    from genpose2_tpu.models.provider import split_provider_variables
+
+    _, provider_vars = split_provider_variables(state.constants)
 
     def vit_layers(c):
-        return list(vit.apply(vit_vars, c, intermediate=(2, 6, 11)))
-
-    init_batch = dict(batch)
-    init_batch["dino_layers"] = [jnp.zeros((B, grid * grid, cfg.model.dino_dim))] * 3
-    state = agent.init_state(key, init_batch)
+        # the production backbone: DinoV3 ViT-S+/16 via the agent's provider
+        return agent.provider.patch_features(provider_vars, c)
 
     if "vit" in stages:
         t = steady(
             lambda carry, k, c: vit_layers(c + 0.0 * carry)[0][0, 0, 0], crops
         )
-        print(f"ViT (3 layers, {B} x {img}px): {t*1e3:8.2f} ms", flush=True)
+        print(f"ViT-S+/16 (3 layers, {B} x {img}px): {t*1e3:8.2f} ms", flush=True)
 
     layers = vit_layers(crops)
 
@@ -168,11 +169,11 @@ def main():
             sfn = agent.score_fn(st, jnp.repeat(pf, K, axis=0), None)
             from genpose2_tpu.diffusion import samplers
 
-            x = samplers.ode_sampler(
+            x, _ = samplers.ode_sampler(
                 jax.random.fold_in(key, k), sfn, agent.sde, B * K, 9,
                 T0=0.55, method="fixed", num_steps=50,
             )
-            return jnp.asarray(x)[0, 0]
+            return x[0, 0]
 
         t = steady(ode_once, state, pts_feat)
         print(f"ODE ({B*K} cands): {t*1e3:8.2f} ms", flush=True)

@@ -15,6 +15,10 @@ import jax  # noqa: E402
 # interpreter startup (sitecustomize): the explicit config update wins
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compilation cache: the suite compiles hundreds of CPU programs
+# (2-core machine); repeat runs hit the cache instead of recompiling
+jax.config.update("jax_compilation_cache_dir", "/tmp/gp2_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

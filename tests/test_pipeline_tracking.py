@@ -163,3 +163,78 @@ class TestPipelineWithEnergyAndScale:
         assert os.path.exists(tmp_path / "lengths.npz")
         lengths = np.load(tmp_path / "lengths.npz")["b0"]
         assert (lengths >= 1e-3).all()
+
+
+class TestStreamingEval:
+    def test_run_streaming_matches_run(self, trained_score, tmp_path):
+        agent, state, data = trained_score
+        batches = [
+            data.batch(jax.random.PRNGKey(999 + i), 4, fixed_pose=True)
+            for i in range(3)
+        ]
+        ev = SingleFrameEvaluator(CFG, agent, state, out_dir=str(tmp_path / "a"))
+        m_staged = ev.run(list(batches))
+        ev2 = SingleFrameEvaluator(CFG, agent, state, out_dir=str(tmp_path / "b"))
+        m_stream = ev2.run_streaming(iter(batches))
+        assert abs(m_staged.deg_mean - m_stream.deg_mean) < 1e-5
+        # per-batch caches exist and a resume pass reproduces the metrics
+        assert os.path.exists(tmp_path / "b" / "batch_000000.npz")
+        ev3 = SingleFrameEvaluator(CFG, agent, state, out_dir=str(tmp_path / "b"))
+        m_resume = ev3.run_streaming(iter(batches))
+        assert abs(m_resume.deg_mean - m_stream.deg_mean) < 1e-6
+
+    def test_streaming_with_scale_fn(self, trained_score, tmp_path):
+        from genpose2_tpu.training.agent import ScaleAgent
+
+        agent, state, data = trained_score
+        sc = ScaleAgent(CFG)
+        probe = data.batch(jax.random.PRNGKey(5), 4, fixed_pose=True)
+        pts_dim = int(agent.extract_features(state, probe)[0].shape[-1])
+        scs = sc.init_state(jax.random.PRNGKey(0), pts_dim=pts_dim)
+
+        def scale_fn(batch, R, t):
+            pts_feat, _ = agent.extract_features(state, batch)
+            return sc.predict(scs, pts_feat, R)
+
+        ev = SingleFrameEvaluator(
+            CFG, agent, state, scale_fn=scale_fn, out_dir=None
+        )
+        batches = [data.batch(jax.random.PRNGKey(5), 4, fixed_pose=True)]
+        m = ev.run_streaming(iter(batches))
+        assert np.isfinite(m.deg_mean)
+
+
+class TestMultiplexerOversizedFrame:
+    def test_frame_larger_than_budget(self, trained_score):
+        """A frame with more objects than object_budget must be processed in
+        slices, not crash on a negative pad (reference handles arbitrary-size
+        stream batches, evaluation_tracking.py:261-331)."""
+        from genpose2_tpu.eval.tracking_multiplex import track_videos_multiplexed
+
+        agent, state, data = trained_score
+
+        class FakeVideo:
+            """2 frames x 5 objects of raw (un-processed) numpy batches."""
+
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                b = data.batch(jax.random.PRNGKey(i), 5, fixed_pose=True)
+                scipy_like = {
+                    "pcl_in": np.asarray(b["pts"]),
+                    "rotation": np.asarray(b["gt_rotation"]),
+                    "translation": np.asarray(b["gt_translation"]),
+                    "sym_info": np.zeros((5, 4), np.int32),
+                    "bbox_side_len": np.full((5, 3), 0.1, np.float32),
+                    "class_label": np.zeros((5,), np.int32),
+                }
+                return scipy_like
+
+        tracker = PoseTracker(CFG, agent, state, T0=0.5, num_steps=5)
+        results = track_videos_multiplexed(
+            tracker, [FakeVideo()], jax.random.PRNGKey(0), object_budget=2
+        )
+        assert len(results[0]) == 2
+        for r in results[0]:
+            assert r["rotation"].shape == (5, 3, 3)  # all 5 objects came back

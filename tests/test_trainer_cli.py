@@ -231,3 +231,75 @@ class TestEvalHook:
         scalars = eval_fn(state, 1)
         assert "eval_deg_mean" in scalars and np.isfinite(scalars["eval_deg_mean"])
         assert os.path.exists(tmp_path / "eval_img" / "epoch_1.png")
+
+
+class TestScannedTrainerAndMesh:
+    def _cfg(self, **train_kw):
+        import dataclasses
+        return CFG.replace(train=dataclasses.replace(CFG.train, **train_kw))
+
+    def test_scan_chunk_equals_stepwise(self, tmp_path):
+        """The scanned device-resident epoch must produce the same state as
+        the per-step dispatch path (same batches, same keys)."""
+        data = SyntheticPoseData(num_points=CFG.model.num_points)
+
+        def run(chunk):
+            cfg = self._cfg(batch_size=4, repeat_num=2, scan_chunk=chunk)
+            tr = Trainer(cfg, "score", steps_per_epoch=6,
+                         log_dir=str(tmp_path / f"c{chunk}"))
+            b0 = data.batch(jax.random.PRNGKey(0), 4)
+            tr.init(jax.random.PRNGKey(0), b0)
+            batches = [data.batch(jax.random.PRNGKey(10 + i), 4) for i in range(6)]
+            tr.train_epoch(iter(batches), 1, jax.random.PRNGKey(7))
+            return tr.state
+
+        s1 = run(1)
+        s3 = run(3)
+        assert int(s1.step) == int(s3.step) == 6
+        # same total work; parameters close (keys are folded per-dispatch so
+        # noise draws differ — compare magnitudes not exact equality)
+        n1 = float(jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x**2), s1.params, 0.0))
+        n3 = float(jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x**2), s3.params, 0.0))
+        assert abs(n1 - n3) / max(n1, 1e-9) < 0.2
+
+    def test_mesh_trainer_epoch(self, tmp_path):
+        """CLI-reachable data-parallel path: 8 virtual CPU devices, scanned
+        chunks sharded on the 'data' axis."""
+        from genpose2_tpu.parallel.mesh import make_mesh
+
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(data=8, cand=1)
+        data = SyntheticPoseData(num_points=CFG.model.num_points)
+        cfg = self._cfg(batch_size=16, repeat_num=2, scan_chunk=2)
+        tr = Trainer(cfg, "score", steps_per_epoch=4,
+                     log_dir=str(tmp_path), mesh=mesh)
+        b0 = data.batch(jax.random.PRNGKey(0), 16)
+        tr.init(jax.random.PRNGKey(0), b0)
+        batches = [data.batch(jax.random.PRNGKey(i), 16) for i in range(4)]
+        metrics = tr.train_epoch(iter(batches), 1, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(tr.state.step) == 4
+
+    def test_resume_from_checkpoint(self, tmp_path):
+        data = SyntheticPoseData(num_points=CFG.model.num_points)
+        cfg = self._cfg(batch_size=4, repeat_num=2, n_epochs=2, eval_freq=100)
+
+        def loader_fn(epoch):
+            for i in range(3):
+                yield data.batch(jax.random.PRNGKey(epoch * 100 + i), 4)
+
+        tr = Trainer(cfg, "score", steps_per_epoch=3, log_dir=str(tmp_path / "a"))
+        tr.init(jax.random.PRNGKey(0), data.batch(jax.random.PRNGKey(0), 4))
+        tr.fit(loader_fn, epochs=1)
+        ckpt = os.path.join(str(tmp_path / "a"), "ckpt", "final")
+        assert os.path.exists(ckpt)
+
+        # resume: restored step -> training continues at epoch 2
+        tr2 = Trainer(cfg, "score", steps_per_epoch=3,
+                      log_dir=str(tmp_path / "b"), resume_from=ckpt)
+        tr2.init(jax.random.PRNGKey(5), data.batch(jax.random.PRNGKey(0), 4))
+        assert int(tr2.state.step) == 3  # restored, not fresh
+        state = tr2.fit(loader_fn, epochs=2)
+        assert int(state.step) == 6  # only epoch 2 ran
