@@ -205,36 +205,56 @@ def rope_rotate(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarr
 
 
 class DinoV3Attention(nn.Module):
+    """RoPE'd MHA. ``sin``/``cos`` are FULL-length (N, hd) tables whose prefix
+    rows are the identity rotation (sin=0, cos=1) — rotating every token with
+    identity on cls/storage rows is algebraically the reference's
+    rotate-patches-only, without the prefix split/concat layout round trip.
+
+    The attention core runs in the fused VMEM kernel (ops/vit_attention.py);
+    softmax is f32 either way (parity: tests/test_vit_weights.py)."""
+
     dim: int
     num_heads: int
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, sin, cos, num_prefix: int):
+        from genpose2_tpu.ops.vit_attention import vit_attention
+
         B, N, D = x.shape
         H = self.num_heads
         hd = D // H
+        # RoPE runs in the compute dtype: in bf16 configs the (B, N, 3D) qkv
+        # tensor never round-trips HBM at f32 (the rotation is elementwise and
+        # orthonormal; bf16 rounding is within the frozen-feature tolerance)
+        dt = self.dtype or jnp.float32
         qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
-        qkv = qkv.reshape(B, N, 3, H, hd).astype(jnp.float32)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qkv = qkv.reshape(B, N, 3, H, hd).astype(dt)
+        q = rope_rotate(qkv[:, :, 0], sin.astype(dt), cos.astype(dt))
+        k = rope_rotate(qkv[:, :, 1], sin.astype(dt), cos.astype(dt))
+        v = qkv[:, :, 2]
+        out = vit_attention(
+            q.reshape(B, N, D), k.reshape(B, N, D), v.reshape(B, N, D), H
+        )
+        return nn.Dense(D, name="proj", dtype=self.dtype)(out.astype(dt))
 
-        def rot(t):
-            prefix, patches = t[:, :num_prefix], t[:, num_prefix:]
-            return jnp.concatenate([prefix, rope_rotate(patches, sin, cos)], axis=1)
 
-        q, k = rot(q), rot(k)
-        q = q.astype(self.dtype) if self.dtype else q
-        k = k.astype(self.dtype) if self.dtype else k
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        att = jax.nn.softmax(att / jnp.sqrt(jnp.float32(hd)), axis=-1)
-        att = att.astype(self.dtype) if self.dtype else att
-        out = jnp.einsum(
-            "bhqk,bkhd->bqhd",
-            att,
-            v.astype(self.dtype) if self.dtype else v,
-            preferred_element_type=jnp.float32,
-        ).reshape(B, N, D)
-        return nn.Dense(D, name="proj", dtype=self.dtype)(out).astype(jnp.float32)
+class _DenseParams(nn.Module):
+    """Declares Dense-shaped params (kernel, bias) WITHOUT running the matmul,
+    so sibling layers reading the same input can be fused into one wide
+    matmul while the param tree (and checkpoint ingestion) stays identical to
+    two nn.Dense layers. Initializers match nn.Dense defaults."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class DinoV3Block(nn.Module):
@@ -247,6 +267,10 @@ class DinoV3Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, sin, cos, num_prefix: int):
+        # The residual stream runs in the compute dtype (bf16 in the frozen
+        # eval config): halves every elementwise HBM round trip. LayerNorm
+        # statistics still accumulate in f32 (the cast fuses into the reduce).
+        dt = self.dtype or jnp.float32
         h = nn.LayerNorm(name="norm1", dtype=jnp.float32)(x)
         h = DinoV3Attention(self.dim, self.num_heads, name="attn", dtype=self.dtype)(
             h, sin, cos, num_prefix
@@ -254,24 +278,33 @@ class DinoV3Block(nn.Module):
         gamma1 = self.param(
             "ls1", nn.initializers.constant(self.layer_scale_init), (self.dim,)
         )
-        x = x + h * gamma1
+        x = x + (h * gamma1).astype(dt)
         h = nn.LayerNorm(name="norm2", dtype=jnp.float32)(x)
         if self.ffn_layer == "swiglu":
-            a = nn.Dense(self.ffn_hidden, name="mlp_w1", dtype=self.dtype)(h)
-            b = nn.Dense(self.ffn_hidden, name="mlp_w2", dtype=self.dtype)(h)
+            # w1 and w2 read the same activations: run them as ONE matmul over
+            # the concatenated kernels (the param tree keeps separate w1/w2
+            # Dense-shaped leaves for checkpoint ingestion; DINOv3 checkpoints
+            # themselves ship the fused w12 form). Halves the HBM reads of h.
+            k1, b1 = _DenseParams(h.shape[-1], self.ffn_hidden, name="mlp_w1")()
+            k2, b2 = _DenseParams(h.shape[-1], self.ffn_hidden, name="mlp_w2")()
+            w12 = jnp.concatenate([k1, k2], axis=1)
+            b12 = jnp.concatenate([b1, b2])
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
+                w12 = w12.astype(self.dtype)
+            ab = jnp.dot(h, w12, preferred_element_type=jnp.float32) + b12
+            a, b = ab[..., : self.ffn_hidden], ab[..., self.ffn_hidden :]
             h = nn.Dense(self.dim, name="mlp_w3", dtype=self.dtype)(
-                nn.silu(a) * b
-            ).astype(jnp.float32)
+                (nn.silu(a) * b).astype(dt)
+            )
         else:
             h = nn.Dense(self.ffn_hidden, name="mlp_fc1", dtype=self.dtype)(h)
             h = nn.gelu(h)
-            h = nn.Dense(self.dim, name="mlp_fc2", dtype=self.dtype)(h).astype(
-                jnp.float32
-            )
+            h = nn.Dense(self.dim, name="mlp_fc2", dtype=self.dtype)(h)
         gamma2 = self.param(
             "ls2", nn.initializers.constant(self.layer_scale_init), (self.dim,)
         )
-        return x + h * gamma2
+        return x + (h * gamma2).astype(dt)
 
 
 class DinoV3ViT(nn.Module):
@@ -316,6 +349,8 @@ class DinoV3ViT(nn.Module):
             axis=1,
         )
         tokens = jnp.concatenate([prefix, tokens], axis=1)
+        if self.dtype is not None:
+            tokens = tokens.astype(self.dtype)  # bf16 residual stream
         num_prefix = 1 + self.num_storage_tokens
 
         hd = self.dim // self.num_heads
@@ -326,6 +361,10 @@ class DinoV3ViT(nn.Module):
             lambda: self.rope_base ** (jnp.arange(dq, dtype=jnp.float32) / dq),
         ).value
         sin, cos = rope_tables(periods, gh, gw)
+        # full-length tables: identity rotation on the prefix rows (see
+        # DinoV3Attention) so q/k rotate without a split/concat
+        sin = jnp.concatenate([jnp.zeros((num_prefix, sin.shape[1]), sin.dtype), sin])
+        cos = jnp.concatenate([jnp.ones((num_prefix, cos.shape[1]), cos.dtype), cos])
 
         final_norm = nn.LayerNorm(name="norm")
         outputs = []

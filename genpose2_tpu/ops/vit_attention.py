@@ -1,0 +1,126 @@
+"""Fused multi-head self-attention kernel for the frozen ViT backbone.
+
+The XLA formulation of DinoV3Attention (models/vit.py) materializes the
+(B, H, N, N) attention scores in HBM twice (scores out of the QK einsum,
+probabilities back in for the AV einsum) and needs head-major transposes of
+q/k/v on either side. At the flagship shape (B=64 crops, N=261 tokens,
+H=6 heads) that is ~2.5 GB of HBM round trips per forward — the measured ViT
+time (26.9 ms steady-state) is ~5x its bf16 matmul roofline.
+
+This kernel computes, per batch row, all heads' softmax(QK^T/sqrt(d)) V in
+VMEM: HBM traffic drops to one read of q/k/v (token-major, exactly as the
+fused qkv projection produces them) and one write of the attention output.
+No transposes are materialized: the head split is a static lane slice, the
+K-contraction runs as a dot_general over the head dim.
+
+Numerics match the XLA path: bf16 (or f32) matmul inputs, f32 accumulation,
+f32 softmax, probabilities cast back to the compute dtype for the AV product.
+Padded key columns are masked with a large negative before the softmax;
+padded query rows produce garbage that the caller slices off.
+
+reference behavior: /root/reference's torch ViT runs standard SDPA inside
+dinov3 blocks (networks/posenet.py:56-62 loads the hub model); this kernel is
+the TPU-native equivalent of its attention core.
+
+Parity: tests/test_ops.py::TestViTAttention (CPU interpret mode vs the dense
+jnp oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads, head_dim, n_valid):
+    """One batch row, all heads: q/k/v (H, Np, hd) -> out (H, Np, hd).
+
+    Head-major blocks: the per-head split happens OUTSIDE the kernel (one
+    XLA transpose fused with the padding) and heads index the LEADING block
+    dim — 64-wide lane slicing inside the kernel forces Mosaic relayouts that
+    measured slower than the XLA einsum path, and a one-head-per-program grid
+    (B*H programs) measured ~11 ms at the flagship shape from per-program
+    overheads alone. One program per batch row chains the H head matmuls
+    back-to-back in VMEM.
+    """
+    scale = 1.0 / (head_dim ** 0.5)
+    Np = q_ref.shape[1]
+
+    # key-padding mask: one (1, Np) row, broadcast over query rows
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Np), dimension=1)
+    neg = jnp.where(lane < n_valid, 0.0, -1e9).astype(jnp.float32)
+
+    for h in range(num_heads):
+        q = q_ref[h]  # (Np, hd)
+        k = k_ref[h]
+        v = v_ref[h]
+        # (Np, hd) x (Np, hd) -> (Np, Np), contracting the head dim
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = scores * scale + neg
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        out_ref[h] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "out_dtype"))
+def vit_attention(q, k, v, num_heads: int, out_dtype=jnp.float32):
+    """q, k, v (B, N, D) token-major (D = num_heads * head_dim) ->
+    (B, N, D) f32 (or ``out_dtype``) multi-head attention output.
+
+    Equivalent to softmax(q_h k_h^T / sqrt(hd)) v_h per head with heads taken
+    as contiguous D-slices — exactly the layout the fused qkv projection
+    emits, so no head-major transpose exists on either side.
+    """
+    B, N, D = q.shape
+    assert D % num_heads == 0
+    H = num_heads
+    hd = D // H
+    Np = _round_up(N, 8)
+
+    def to_head_major(t):
+        t = t.reshape(B, N, H, hd).transpose(0, 2, 1, 3).reshape(B * H, N, hd)
+        if Np != N:
+            t = jnp.pad(t, ((0, 0), (0, Np - N), (0, 0)))
+        return t
+
+    spec = pl.BlockSpec((H, Np, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_heads=H, head_dim=hd, n_valid=N),
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, Np, hd), out_dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(to_head_major(q), to_head_major(k), to_head_major(v))
+    out = out[:, :N].reshape(B, H, N, hd).transpose(0, 2, 1, 3)
+    return out.reshape(B, N, D)
+
+
+def vit_attention_reference(q, k, v, num_heads: int):
+    """Dense-jnp oracle (same math, XLA ops)."""
+    B, N, D = q.shape
+    hd = D // num_heads
+    qh = q.reshape(B, N, num_heads, hd)
+    kh = k.reshape(B, N, num_heads, hd)
+    vh = v.reshape(B, N, num_heads, hd)
+    att = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) / (hd ** 0.5)
+    att = jax.nn.softmax(att, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", att.astype(vh.dtype), vh,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, N, D)

@@ -412,3 +412,42 @@ class TestDynamicSkip:
             {"params": vs["params"], "batch_stats": vs.get("batch_stats", {})}, pts, cfg
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+class TestViTAttention:
+    """Fused ViT attention kernel vs dense oracle (interpret mode on CPU)."""
+
+    def test_parity_f32_unaligned_tokens(self):
+        import numpy as np
+        from genpose2_tpu.ops.vit_attention import (
+            vit_attention,
+            vit_attention_reference,
+        )
+
+        rng = np.random.default_rng(0)
+        B, N, H, hd = 2, 261, 6, 16  # N not a multiple of 8
+        D = H * hd
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32)) for _ in range(3)
+        )
+        got = vit_attention(q, k, v, H)
+        want = vit_attention_reference(q, k, v, H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    def test_parity_bf16(self):
+        import numpy as np
+        from genpose2_tpu.ops.vit_attention import (
+            vit_attention,
+            vit_attention_reference,
+        )
+
+        rng = np.random.default_rng(1)
+        B, N, H, hd = 2, 40, 2, 32
+        D = H * hd
+        mk = lambda: jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        q, k, v = mk(), mk(), mk()
+        got = vit_attention(q, k, v, H)
+        want = vit_attention_reference(q, k, v, H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
