@@ -21,6 +21,35 @@ import jax.numpy as jnp
 from genpose2_tpu.models.layers import linear_resize_points
 
 
+class _ShiftConv1d(nn.Module):
+    """SAME-padded 1-D conv as K shifted multiply-adds.
+
+    Param-tree identical to ``nn.Conv(out, (K,), padding='SAME',
+    use_bias=False)`` (kernel (K, C_in, C_out)), but the tiny-channel case the
+    spatial-attention gate needs (C_in=2, C_out=1) lowers to pure VPU fused
+    multiply-adds instead of XLA's conv path, which pads the channels to full
+    lanes (measured ~2 ms per call at (64, 512, 2) on v5e)."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        K = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (K, x.shape[-1], self.features),
+        )
+        lo = (K - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (lo, K - 1 - lo), (0, 0)))
+        N = x.shape[1]
+        out = 0.0
+        for i in range(K):
+            out = out + xp[:, i : i + N, :] @ kernel[i]
+        return out
+
+
 class EfficientRelativePositionalEncoding(nn.Module):
     """Distance-MLP + direction-MLP -> fused per-head attention bias.
 
@@ -170,12 +199,12 @@ class GatedAttentionFusion(nn.Module):
         ca = ca.astype(jnp.float32)
         ca = nn.sigmoid(ca)  # (B, 1, C)
 
-        # spatial attention: conv(k=7) over [max_c, mean_c] along points (:251-254)
+        # spatial attention: conv(k=7) over [max_c, mean_c] along points
+        # (:251-254); shifted-multiply-add form, param tree identical to the
+        # nn.Conv it replaces (name pinned to the original auto-name)
         mx = jnp.max(current, axis=-1, keepdims=True)
         av = jnp.mean(current, axis=-1, keepdims=True)
-        sa = nn.Conv(1, kernel_size=(7,), padding="SAME", use_bias=False)(
-            jnp.concatenate([mx, av], axis=-1)
-        )
+        sa = _ShiftConv1d(1, 7, name="Conv_0")(jnp.concatenate([mx, av], axis=-1))
         sa = nn.sigmoid(sa)  # (B, N, 1)
 
         attended = orig_t * ca * sa

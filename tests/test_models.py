@@ -484,3 +484,29 @@ class TestFastEncoder:
             {"params": vars_["params"], "batch_stats": vars_["batch_stats"]}, pts, cfg
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+class TestLayoutFastPaths:
+    """The tiny-channel conv and exact-halving resize replacements are
+    algebraically identical to the XLA forms they replace."""
+
+    def test_shiftconv_matches_nn_conv(self):
+        import flax.linen as nn
+        from genpose2_tpu.models.attention import _ShiftConv1d
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(3, 40, 2)).astype(np.float32))
+        ref = nn.Conv(1, kernel_size=(7,), padding="SAME", use_bias=False)
+        vs = ref.init(jax.random.PRNGKey(1), x)
+        got = _ShiftConv1d(1, 7).apply(vs, x)
+        want = ref.apply(vs, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    def test_halving_resize_matches_jax_image(self):
+        from genpose2_tpu.models.layers import linear_resize_points
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 64, 5)).astype(np.float32))
+        got = linear_resize_points(x, 32)
+        want = jax.image.resize(x, (2, 32, 5), method="linear")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
