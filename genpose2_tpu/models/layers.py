@@ -110,4 +110,7 @@ def linear_resize_points(x: jnp.ndarray, new_n: int) -> jnp.ndarray:
         return x
     if N == 2 * new_n:
         return 0.5 * (x[:, 0::2] + x[:, 1::2])
-    return jax.image.resize(x, (B, new_n, C), method="linear")
+    # antialias=False matches torch F.interpolate(mode='linear',
+    # align_corners=False) for every ratio (jax.image.resize antialiases on
+    # downsample by default, which is a different filter than the reference).
+    return jax.image.resize(x, (B, new_n, C), method="linear", antialias=False)

@@ -218,7 +218,7 @@ class DinoV3Attention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, sin, cos, num_prefix: int):
+    def __call__(self, x, sin, cos):
         from genpose2_tpu.ops.vit_attention import vit_attention
 
         B, N, D = x.shape
@@ -266,14 +266,14 @@ class DinoV3Block(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, sin, cos, num_prefix: int):
+    def __call__(self, x, sin, cos):
         # The residual stream runs in the compute dtype (bf16 in the frozen
         # eval config): halves every elementwise HBM round trip. LayerNorm
         # statistics still accumulate in f32 (the cast fuses into the reduce).
         dt = self.dtype or jnp.float32
         h = nn.LayerNorm(name="norm1", dtype=jnp.float32)(x)
         h = DinoV3Attention(self.dim, self.num_heads, name="attn", dtype=self.dtype)(
-            h, sin, cos, num_prefix
+            h, sin, cos
         )
         gamma1 = self.param(
             "ls1", nn.initializers.constant(self.layer_scale_init), (self.dim,)
@@ -376,7 +376,7 @@ class DinoV3ViT(nn.Module):
                 self.ffn_layer,
                 name=f"block_{i}",
                 dtype=self.dtype,
-            )(tokens, sin, cos, num_prefix)
+            )(tokens, sin, cos)
             if i in intermediate:
                 t = final_norm(tokens) if norm else tokens
                 outputs.append(t[:, num_prefix:])

@@ -144,7 +144,7 @@ def ball_query_pallas(
             (_RB, TM, nsample), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, Mp, nsample), jnp.int32),
-        interpret=jax.default_backend() == "cpu",
+        interpret=jax.default_backend() != "tpu",
     )(x, y, z, cx, cy, cz)
     return out[:B, :M]
 
@@ -181,6 +181,6 @@ def ball_count(
         in_specs=[pts_spec, pts_spec, pts_spec, ctr_spec, ctr_spec, ctr_spec],
         out_specs=ctr_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, Mp), jnp.int32),
-        interpret=jax.default_backend() == "cpu",
+        interpret=jax.default_backend() != "tpu",
     )(x, y, z, cx, cy, cz)
     return out[:B, :M]

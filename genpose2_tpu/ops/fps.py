@@ -110,7 +110,7 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int, row_tile: int = 128) -> jnp.ndarra
     z = xyz[..., 2]
 
     grid = (Bp // TB,)
-    interpret = jax.default_backend() == "cpu"  # tests run the kernel interpreted
+    interpret = jax.default_backend() != "tpu"  # tests run the kernel interpreted
     out = pl.pallas_call(
         functools.partial(_fps_kernel, npoint=npoint),
         grid=grid,

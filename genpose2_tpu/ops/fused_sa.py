@@ -131,7 +131,7 @@ def fused_group_mlp_pool(
             (1, TM, C_out), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, M, C_out), out_dtype),
-        interpret=jax.default_backend() == "cpu",
+        interpret=jax.default_backend() != "tpu",
     )(idx.astype(jnp.int32), proj, center_proj, *wa)
 
 
@@ -352,7 +352,7 @@ def fused_sa_scale(
             (1, TM, C_out), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, M, C_out), out_dtype),
-        interpret=jax.default_backend() == "cpu",
+        interpret=jax.default_backend() != "tpu",
     )(x, y, z, cx, cy, cz, proj, center_proj, *wa)
 
 

@@ -192,7 +192,7 @@ def relpe_attention(xyz, q, k, v, pe_params, num_heads: int):
             (1, H, TQ, D), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Mp, D), jnp.float32),
-        interpret=jax.default_backend() == "cpu",
+        interpret=jax.default_backend() != "tpu",
     )(xq_, yq_, zq_, x_, y_, z_, qh, kh, vh, *wa)
 
     return out.transpose(0, 2, 1, 3).reshape(B, Mp, C)[:, :M]

@@ -87,7 +87,9 @@ def vit_attention(q, k, v, num_heads: int, out_dtype=jnp.float32):
     assert D % num_heads == 0
     H = num_heads
     hd = D // H
-    Np = _round_up(N, 8)
+    # sublane tile: 8 for f32, 16 for bf16 (and other sub-f32 dtypes)
+    sublane = 8 if q.dtype == jnp.float32 else 16
+    Np = _round_up(N, sublane)
 
     def to_head_major(t):
         t = t.reshape(B, N, H, hd).transpose(0, 2, 1, 3).reshape(B * H, N, hd)
@@ -102,7 +104,9 @@ def vit_attention(q, k, v, num_heads: int, out_dtype=jnp.float32):
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B * H, Np, hd), out_dtype),
-        interpret=jax.default_backend() == "cpu",
+        # Mosaic lowering only exists on TPU; interpret everywhere else
+        # (CPU tests, any hypothetical GPU backend).
+        interpret=jax.default_backend() != "tpu",
     )(to_head_major(q), to_head_major(k), to_head_major(v))
     out = out[:, :N].reshape(B, H, N, hd).transpose(0, 2, 1, 3)
     return out.reshape(B, N, D)

@@ -502,11 +502,51 @@ class TestLayoutFastPaths:
         want = ref.apply(vs, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
-    def test_halving_resize_matches_jax_image(self):
+    def test_halving_resize_matches_torch_interpolate(self):
+        """Oracle is the reference op: torch F.interpolate(mode='linear',
+        align_corners=False) (ref pointnet2.py:344-350). jax.image.resize with
+        its default antialias=True is a *different* operator on downsample and
+        must NOT be used as the oracle here."""
+        import torch
+        import torch.nn.functional as F
+
         from genpose2_tpu.models.layers import linear_resize_points
 
         rng = np.random.default_rng(1)
-        x = jnp.asarray(rng.normal(size=(2, 64, 5)).astype(np.float32))
-        got = linear_resize_points(x, 32)
-        want = jax.image.resize(x, (2, 32, 5), method="linear")
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+        x = rng.normal(size=(2, 64, 5)).astype(np.float32)
+        got = linear_resize_points(jnp.asarray(x), 32)
+        # torch interpolates along the last axis of (B, C, N)
+        want = (
+            F.interpolate(
+                torch.from_numpy(x).permute(0, 2, 1),
+                size=32,
+                mode="linear",
+                align_corners=False,
+            )
+            .permute(0, 2, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+    def test_non_halving_resize_matches_torch_interpolate(self):
+        """The general fallback (antialias=False) also matches torch for a
+        non-2x ratio (64 -> 48)."""
+        import torch
+        import torch.nn.functional as F
+
+        from genpose2_tpu.models.layers import linear_resize_points
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, 64, 5)).astype(np.float32)
+        got = linear_resize_points(jnp.asarray(x), 48)
+        want = (
+            F.interpolate(
+                torch.from_numpy(x).permute(0, 2, 1),
+                size=48,
+                mode="linear",
+                align_corners=False,
+            )
+            .permute(0, 2, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)

@@ -317,3 +317,22 @@ class TestDinoV3Ingestion:
         # 2 LN (2*2*384), 2 LS (2*384)
         expected = (384 * 1152 + 1152) + (384 * 384 + 384) + 2 * (384 * 1536 + 1536) + (1536 * 384 + 384) + 4 * 384 + 2 * 384
         assert n == expected
+
+    def test_bf16_model_matches_f32(self):
+        """End-to-end bf16 compute path (residual stream + matmuls) stays
+        within bf16 tolerance of the f32 path on the same loaded weights
+        (ADVICE r2: the bf16 claim was only kernel-level before)."""
+        from genpose2_tpu.models.vit import DinoV3ViT
+
+        tv, vit, loaded, x = self._pair()
+        vit_bf16 = DinoV3ViT(
+            patch_size=8, dim=32, depth=2, num_heads=2,
+            num_storage_tokens=2, ffn_hidden=48, dtype=jnp.bfloat16,
+        )
+        out_f32 = np.asarray(vit.apply(loaded, jnp.asarray(x)))
+        out_bf16 = np.asarray(
+            vit_bf16.apply(loaded, jnp.asarray(x)).astype(jnp.float32)
+        )
+        # bf16 has ~3 decimal digits; feature magnitudes are O(1)
+        np.testing.assert_allclose(out_bf16, out_f32, atol=5e-2)
+        assert np.mean(np.abs(out_bf16 - out_f32)) < 1e-2
