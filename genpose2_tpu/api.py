@@ -53,14 +53,14 @@ class GenPose2TPU:
         dummy = self._dummy_batch()
         self.score_state = self.score_agent.init_state(key, dummy)
         if score_ckpt:
-            self.score_state = load_params_only(score_ckpt, self.score_state, cfg=self.cfg)
+            self.score_state = load_params_only(score_ckpt, self.score_state, cfg=self.cfg, provider=self.score_agent.provider)
 
         self.energy_agent = self.energy_state = None
         if energy_ckpt is not None:
             self.energy_agent = PoseAgent(self.cfg, "energy")
             self.energy_state = self.energy_agent.init_state(key, dummy)
             if isinstance(energy_ckpt, str):
-                self.energy_state = load_params_only(energy_ckpt, self.energy_state, cfg=self.cfg)
+                self.energy_state = load_params_only(energy_ckpt, self.energy_state, cfg=self.cfg, provider=self.energy_agent.provider)
 
         self.scale_agent = self.scale_state = None
         if scale_ckpt is not None:
@@ -124,6 +124,10 @@ class GenPose2TPU:
         else:
             T0 = self.single_T0
             init_x = None
+        # one backbone + one score-encoder forward per call: dino features
+        # ride the batch and pts_feat feeds both the sampler and ScaleNet
+        batch = self.score_agent.with_image_features(self.score_state, batch)
+        feats = self.score_agent.extract_features(self.score_state, batch)
         poses = self.score_agent.sample_candidates(
             self.score_state,
             batch,
@@ -133,6 +137,7 @@ class GenPose2TPU:
             init_x=init_x,
             method="fixed",
             num_steps=self.num_steps,
+            features=feats,
         )
         energy = None
         if self.energy_agent is not None:
@@ -149,8 +154,7 @@ class GenPose2TPU:
         )
         R, t = agg["rotation"], agg["translation"]
         if self.scale_agent is not None:
-            pts_feat, _ = self.score_agent.extract_features(self.score_state, batch)
-            lengths = self.scale_agent.predict(self.scale_state, pts_feat, R)
+            lengths = self.scale_agent.predict(self.scale_state, feats[0], R)
         else:
             lengths = analytic_bbox_lengths(batch["pts"], R, t)
 

@@ -64,17 +64,33 @@ def edm_loss(
     gt_pose: jnp.ndarray,
     sigma_min: float = 0.002,
     sigma_max: float = 80.0,
+    repeat: int = 1,
 ):
-    """EDM-style denoiser loss with log-uniform sigma sampling.
+    """EDM denoiser loss with log-uniform sigma sampling.
 
-    reference: losses.py:8-45 (note the reference samples log-sigma uniformly
-    in [log sigma_min, log sigma_max], not the EDM paper's log-normal).
+    ``denoiser_fn(x, sigma (B,1)) -> denoised x`` (the PoseDecoderNet
+    contract, reference: scorenet.py:278-424 returns c_skip*x + c_out*F).
+    The loss is ||(D(y + sigma z, sigma) - y) / sigma||^2 — algebraically the
+    reference's (output*sigma + z)^2 form (losses.py:8-45) with output the
+    score-form prediction (D(x) - x)/sigma^2, since
+    (D - x)/sigma + z = (D - y)/sigma. Log-sigma is sampled uniformly in
+    [log sigma_min, log sigma_max] exactly as the reference does (NOT the EDM
+    paper's log-normal; losses.py:28-31).
     """
-    B, D = gt_pose.shape
-    kz, ks = jax.random.split(key)
-    z = jax.random.normal(kz, gt_pose.shape, gt_pose.dtype)
-    u = jax.random.uniform(ks, (B, 1), gt_pose.dtype)
-    sigma_t = jnp.exp(jnp.log(sigma_min) + u * (jnp.log(sigma_max) - jnp.log(sigma_min)))
-    perturbed = gt_pose + z * sigma_t
-    output = denoiser_fn(perturbed, sigma_t)
-    return jnp.mean(jnp.sum((output * sigma_t + z) ** 2, axis=-1))
+
+    def single(k):
+        kz, ks = jax.random.split(k)
+        B = gt_pose.shape[0]
+        z = jax.random.normal(kz, gt_pose.shape, gt_pose.dtype)
+        u = jax.random.uniform(ks, (B, 1), gt_pose.dtype)
+        sigma_t = jnp.exp(
+            jnp.log(sigma_min) + u * (jnp.log(sigma_max) - jnp.log(sigma_min))
+        )
+        perturbed = gt_pose + z * sigma_t
+        denoised = denoiser_fn(perturbed, sigma_t)
+        return jnp.mean(jnp.sum(((denoised - gt_pose) / sigma_t) ** 2, axis=-1))
+
+    if repeat == 1:
+        return single(key)
+    keys = jax.random.split(key, repeat)
+    return jnp.mean(jax.vmap(single)(keys))

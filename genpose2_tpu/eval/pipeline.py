@@ -134,7 +134,7 @@ class SingleFrameEvaluator:
         out = []
         for batch, R, t in zip(batches, rots, transs):
             if self.scale_fn is not None:
-                lengths = self.scale_fn(batch, jnp.asarray(R), jnp.asarray(t))
+                lengths = self.scale_fn(batch, jnp.asarray(R), jnp.asarray(t), pts_feat=None)
             else:
                 lengths = analytic_bbox_lengths(
                     batch["pts"], jnp.asarray(R), jnp.asarray(t)
@@ -176,7 +176,12 @@ class SingleFrameEvaluator:
         """Full pipeline -> PoseMetrics. ``batches`` are process_batch outputs
         (must include gt_rotation/gt_translation/bbox_side_len/sym_info)."""
         key = jax.random.PRNGKey(0) if key is None else key
-        batches = list(batches)
+        # attach the frozen backbone's features once per batch: every later
+        # stage (score, energy, scale) then skips the ViT forward entirely
+        batches = [
+            self.score_agent.with_image_features(self.score_state, b)
+            for b in batches
+        ]
         poses = self.inference_score(batches, key)
         energy = self.inference_energy(batches, poses, key)
         rots, transs = self.aggregate(poses, energy)
@@ -185,7 +190,15 @@ class SingleFrameEvaluator:
 
     # ---------------------------------------------------------- streaming
     def _run_one(self, batch: dict, key) -> dict:
-        """All stages for ONE batch; returns small per-object arrays only."""
+        """All stages for ONE batch; returns small per-object arrays only.
+
+        The frozen image backbone and the score encoder each run ONCE here:
+        dino features are attached to the batch up front (so the energy
+        agent's stage skips the backbone too), and the score features feed
+        both the sampler and ScaleNet (the reference's ScaleNet consumes the
+        frozen score encoder's feature, runners/trainer.py:190-254)."""
+        batch = self.score_agent.with_image_features(self.score_state, batch)
+        feats = self.score_agent.extract_features(self.score_state, batch)
         poses = self.score_agent.sample_candidates(
             self.score_state,
             batch,
@@ -194,6 +207,7 @@ class SingleFrameEvaluator:
             T0=self.cfg.eval.T0,
             method=self.cfg.sampler.mode if self.cfg.sampler.mode != "ode" else "fixed",
             num_steps=self.cfg.sampler.sampling_steps,
+            features=feats,
         )
         if self.energy_agent is not None:
             energy = self.energy_agent.get_energy(
@@ -211,7 +225,7 @@ class SingleFrameEvaluator:
         )
         R, t = agg["rotation"], agg["translation"]
         if self.scale_fn is not None:
-            lengths = self.scale_fn(batch, R, t)
+            lengths = self.scale_fn(batch, R, t, pts_feat=feats[0])
         else:
             lengths = analytic_bbox_lengths(batch["pts"], R, t)
         lengths = jnp.clip(jnp.asarray(lengths), 1e-3)

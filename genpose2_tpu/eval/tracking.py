@@ -71,6 +71,11 @@ class PoseTracker:
         # re-center the temporal prior to the current cloud
         # (reference: evaluation_tracking.py:111-118)
         init_x = prev_pose.at[..., -3:].add(-batch["pts_center"])
+        # frozen backbone + score encoder run ONCE per frame batch: dino
+        # features ride the batch (the energy stage skips the ViT) and the
+        # score features feed both the sampler and ScaleNet
+        batch = self.score_agent.with_image_features(self.score_state, batch)
+        feats = self.score_agent.extract_features(self.score_state, batch)
         poses = self.score_agent.sample_candidates(
             self.score_state,
             batch,
@@ -80,6 +85,7 @@ class PoseTracker:
             init_x=init_x,
             method="fixed",
             num_steps=self.num_steps,
+            features=feats,
         )
         if self.energy_agent is not None:
             energy = self.energy_agent.get_energy(
@@ -97,7 +103,7 @@ class PoseTracker:
         )
         R, t = agg["rotation"], agg["translation"]
         if self.scale_fn is not None:
-            lengths = self.scale_fn(batch, R, t)
+            lengths = self.scale_fn(batch, R, t, pts_feat=feats[0])
         else:
             lengths = analytic_bbox_lengths(batch["pts"], R, t)
         next_prev = jnp.concatenate([matrix_to_rot6d_cols(R), t], axis=-1)

@@ -31,7 +31,7 @@ from genpose2_tpu.models.energynet import PoseEnergyNet
 from genpose2_tpu.models.img_encoder import ImgEncoder
 from genpose2_tpu.models.pointnet import PointNetFeat
 from genpose2_tpu.models.pointnet2 import PointNet2ClsMSG, PointNet2ClsMSGFus
-from genpose2_tpu.models.scorenet import PoseScoreNet
+from genpose2_tpu.models.scorenet import PoseDecoderNet, PoseScoreNet
 from genpose2_tpu.so3.rotations import encode_axes
 
 
@@ -39,6 +39,9 @@ class GFObjectPose(nn.Module):
     cfg: ModelConfig
     marginal_std_fn: Callable  # t (B,1) -> std (B,1)
     agent_type: str = "score"  # 'score' | 'energy'
+    # sde mode 'edm': the score net is replaced by the EDM-preconditioned
+    # denoiser (reference: scorenet.py:278-424 used when sde_mode='edm')
+    use_decoder: bool = False
 
     def setup(self):
         m = self.cfg
@@ -66,9 +69,14 @@ class GFObjectPose(nn.Module):
             m.dino_dim + m.global_embedding_dim if m.dino == "global" else 0
         )
         if self.agent_type == "score":
-            self.pose_net = PoseScoreNet(
-                self.marginal_std_fn, m.pose_dim, m.regression_head, score_dino_dim
-            )
+            if self.use_decoder:
+                self.pose_net = PoseDecoderNet(
+                    self.marginal_std_fn, m.pose_dim, m.regression_head
+                )
+            else:
+                self.pose_net = PoseScoreNet(
+                    self.marginal_std_fn, m.pose_dim, m.regression_head, score_dino_dim
+                )
         elif self.agent_type == "energy":
             self.pose_net = PoseEnergyNet(
                 self.marginal_std_fn,
@@ -134,8 +142,14 @@ class GFObjectPose(nn.Module):
 
     # ------------------------------------------------------------- heads
     def score(self, pts_feat, rgb_feat, sampled_pose, t):
-        assert self.agent_type == "score"
+        assert self.agent_type == "score" and not self.use_decoder
         return self.pose_net(pts_feat, rgb_feat, sampled_pose, t)
+
+    def denoise(self, pts_feat, rgb_feat, sampled_pose, sigma):
+        """EDM denoiser D(x; sigma) (sde mode 'edm'; t and sigma are
+        interchangeable, reference: samplers.py:283 comment)."""
+        assert self.agent_type == "score" and self.use_decoder
+        return self.pose_net(pts_feat, rgb_feat, sampled_pose, sigma)
 
     def energy(self, pts_feat, rgb_feat, sampled_pose, t, decoupled_rt: bool = True):
         assert self.agent_type == "energy"

@@ -13,6 +13,7 @@ batch does not already carry them. Precomputed-feature batches keep working
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -65,18 +66,30 @@ class ImageFeatureProvider:
         x = jnp.zeros((1, self.cfg.img_size, self.cfg.img_size, 3), jnp.float32)
         return self.vit.init(key, x)
 
+    # jitted at the provider level: callers (with_image_features, the eval /
+    # tracking / API hoists) invoke these OUTSIDE any enclosing jit, and an
+    # eager 12-block ViT forward would dispatch hundreds of ops per batch on
+    # a remote backend. Inside an enclosing jit the inner jit is inlined.
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _patch_features_impl(self, variables, rgb):
+        outs = self.vit.apply(variables, rgb, self.layer_ids)
+        return [jax.lax.stop_gradient(o) for o in outs]
+
     def patch_features(self, variables: dict, rgb: jnp.ndarray):
         """rgb (B, S, S, 3) normalized -> list of 3 (B, P, D) patch-token
         tensors from the configured intermediate blocks
         (reference: posenet.py:138-144 get_intermediate_layers([2, 6, 11]))."""
-        outs = self.vit.apply(variables, rgb, self.layer_ids)
-        return [jax.lax.stop_gradient(o) for o in outs]
+        return self._patch_features_impl(variables, rgb)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _global_feature_impl(self, variables, rgb):
+        out = self.vit.apply(variables, rgb, return_class_token=True)
+        return jax.lax.stop_gradient(out)
 
     def global_feature(self, variables: dict, rgb: jnp.ndarray) -> jnp.ndarray:
         """Final normed CLS embedding (B, D) (dino='global',
         reference: posenet.py:316-337)."""
-        out = self.vit.apply(variables, rgb, return_class_token=True)
-        return jax.lax.stop_gradient(out)
+        return self._global_feature_impl(variables, rgb)
 
     def load_torch_state_dict(self, variables: dict, state_dict: dict) -> dict:
         """Ingest a torch backbone checkpoint (optionally prefixed 'dino.'

@@ -82,7 +82,14 @@ class PoseAgent:
         self.agent_type = agent_type or cfg.train.agent_type
         self.sde = init_sde(cfg.sde)
         self.marginal_std_fn = lambda t: self.sde.marginal_prob(None, t)[1]
-        self.model = GFObjectPose(cfg.model, self.marginal_std_fn, self.agent_type)
+        # sde 'edm': the score agent trains/runs the EDM-preconditioned
+        # denoiser (reference: configs/config.py:28-31 sampler_mode 'edm',
+        # scorenet.py:278-424, samplers.py:261-340)
+        self.use_decoder = self.agent_type == "score" and cfg.sde.mode == "edm"
+        self.model = GFObjectPose(
+            cfg.model, self.marginal_std_fn, self.agent_type,
+            use_decoder=self.use_decoder,
+        )
         # frozen image backbone: owned here (not by the model), mirroring the
         # reference's out-of-repo torch.hub asset (reference: posenet.py:56-62)
         self.provider = (
@@ -182,6 +189,7 @@ class PoseAgent:
         return state.replace(constants=attach_provider_variables(consts, loaded))
 
     # ------------------------------------------------------------- features
+    @functools.partial(jax.jit, static_argnums=(0, 3), static_argnames=("use_ema",))
     def extract_features(self, state: TrainState, batch, use_ema: bool = True):
         batch = self.with_image_features(state, batch)
         v = self._variables(state, use_ema)
@@ -220,9 +228,31 @@ class PoseAgent:
         )
         return pts_feat, rgb_feat
 
+    def denoiser_fn(self, state: TrainState, pts_feat, rgb_feat, use_ema: bool = True):
+        """Pure (x, sigma) -> denoised closure (sde 'edm' decoder agents)."""
+        assert self.use_decoder
+        v = self._variables(state, use_ema)
+
+        def fn(x, sigma):
+            return self.model.apply(
+                v, pts_feat, rgb_feat, x, sigma, method=GFObjectPose.denoise
+            )
+
+        return fn
+
     def score_fn(self, state: TrainState, pts_feat, rgb_feat, use_ema: bool = True):
         """Pure (x, t) -> score closure for the samplers."""
         v = self._variables(state, use_ema)
+        if self.use_decoder:
+            # score from the denoiser: s(x, t) = (D(x; sigma) - x) / sigma^2
+            # with sigma = marginal std (t and sigma interchangeable for EDM)
+            dfn = self.denoiser_fn(state, pts_feat, rgb_feat, use_ema)
+
+            def fn(x, t):
+                sigma = self.marginal_std_fn(t)
+                return (dfn(x, sigma) - x) / (sigma**2 + 1e-12)
+
+            return fn
         if self.agent_type == "score":
             # fast path: loop-invariant first-layer rows precomputed, heads
             # fused (parity-tested vs the module in tests/test_models.py)
@@ -393,6 +423,28 @@ class PoseAgent:
                 "batch_stats": mut["batch_stats"],
                 "constants": state.constants,
             }
+            if self.use_decoder:
+                # EDM: denoiser loss instead of DSM
+                # (reference: losses.py:8-45 loss_fn_edm)
+                from genpose2_tpu.diffusion.losses import edm_loss
+
+                def dfn(x, sigma):
+                    return self.model.apply(
+                        run_vars, pts_feat, rgb_feat, x, sigma,
+                        method=GFObjectPose.denoise,
+                    )
+
+                loss = edm_loss(
+                    k_loss,
+                    dfn,
+                    batch["zero_mean_gt_pose"],
+                    sigma_min=self.cfg.sde.edm_sigma_min,
+                    sigma_max=self.cfg.sde.edm_sigma_max,
+                    repeat=self.cfg.train.repeat_num,
+                )
+                metrics = {"score_loss": loss}
+                metrics["loss"] = loss
+                return loss, (mut, metrics)
             if self.agent_type == "score":
 
                 def sfn(x, t):
@@ -483,12 +535,20 @@ class PoseAgent:
         use_ema: bool = True,
         method: str = "rk45",
         num_steps: int = 500,
+        features=None,
     ):
         """Sample ``repeat_num`` pose candidates per object with the on-device
         probability-flow ODE. Returns (B, K, D) poses in the camera frame
         (pts_center re-added). ``init_x`` (B, D) or (B, K, D), zero-centered,
-        warm-starts tracking (reference: posenet_agent.py:490-584)."""
-        pts_feat, rgb_feat = self.extract_features(state, batch, use_ema)
+        warm-starts tracking (reference: posenet_agent.py:490-584).
+        ``features``: optional (pts_feat, rgb_feat) precomputed by
+        ``extract_features`` — pass it when the caller also needs the features
+        (e.g. for ScaleNet) so the frozen backbone + encoder run once per
+        batch instead of once per stage."""
+        if features is not None:
+            pts_feat, rgb_feat = features
+        else:
+            pts_feat, rgb_feat = self.extract_features(state, batch, use_ema)
         B = pts_feat.shape[0]
         K = repeat_num
         D = self.cfg.model.pose_dim
@@ -502,6 +562,25 @@ class PoseAgent:
                 init_x = jnp.repeat(init_x, K, axis=0)
             else:
                 init_x = init_x.reshape(B * K, D)
+        if method == "edm":
+            # Karras-Heun sampler on the EDM denoiser
+            # (reference: samplers.py:261-340 cond_edm_sampler)
+            assert self.use_decoder, "--sampler_mode edm requires --sde_mode edm"
+            from genpose2_tpu.diffusion import edm_sampler
+
+            dfn = self.denoiser_fn(state, feat_rep, rgb_rep, use_ema)
+            poses = edm_sampler(
+                key,
+                dfn,
+                B * K,
+                D,
+                num_steps=num_steps,
+                sigma_min=self.cfg.sde.edm_sigma_min,
+                sigma_max=self.cfg.sde.edm_sigma_max,
+                pose_mode=self.cfg.model.pose_mode,
+                pts_center=center_rep,
+            )
+            return poses.reshape(B, K, D)
         if method == "pc":
             # Predictor-Corrector sampler (reference sampler_mode 'pc',
             # samplers.py:113-177)

@@ -146,8 +146,9 @@ class TestPipelineWithEnergyAndScale:
         pts_dim = sum(m[-1] for m in CFG.model.pointnet2.mlps[-1])
         scale_state = scale_agent.init_state(jax.random.PRNGKey(6), pts_dim=pts_dim)
 
-        def scale_fn(b, R, t):
-            pts_feat, _ = agent.extract_features(state, b)
+        def scale_fn(b, R, t, pts_feat=None):
+            if pts_feat is None:
+                pts_feat, _ = agent.extract_features(state, b)
             return scale_agent.predict(scale_state, pts_feat, R)
 
         ev = SingleFrameEvaluator(
@@ -192,8 +193,9 @@ class TestStreamingEval:
         pts_dim = int(agent.extract_features(state, probe)[0].shape[-1])
         scs = sc.init_state(jax.random.PRNGKey(0), pts_dim=pts_dim)
 
-        def scale_fn(batch, R, t):
-            pts_feat, _ = agent.extract_features(state, batch)
+        def scale_fn(batch, R, t, pts_feat=None):
+            if pts_feat is None:
+                pts_feat, _ = agent.extract_features(state, batch)
             return sc.predict(scs, pts_feat, R)
 
         ev = SingleFrameEvaluator(
