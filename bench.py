@@ -117,6 +117,53 @@ def main():
     dt = best / reps
 
     cand_per_s = B * K / dt
+
+    # ---- tracking throughput (BASELINE.md names tracking frames/s) --------
+    # 16 video streams x 4 objects multiplexed into the same 64-object batch
+    # (reference: evaluation_tracking.py:227-331 multiplexes <=30 videos);
+    # each iteration = one tracking step per stream: warm-started ODE from
+    # T0=0.25 (reference: scripts/eval_tracking.sh), energy-free aggregation,
+    # next-frame prior. Pixels change every frame, so the frozen ViT runs
+    # once per frame — the faithful per-frame cost.
+    streams = 16
+    from genpose2_tpu.so3.rotations import matrix_to_rot6d_cols
+
+    @jax.jit
+    def tracking_loop(state, batch, prev0, key):
+        def body(prev, k):
+            eps = 0.0 * prev[0, 0]
+            b = dict(batch)
+            b["roi_rgb"] = batch["roi_rgb"] + eps
+            init_x = prev.at[..., -3:].add(-b["pts_center"])
+            poses = agent.sample_candidates(
+                state, b, k, repeat_num=K, T0=0.25, init_x=init_x,
+                method="fixed", num_steps=50,
+            )
+            agg = aggregate_candidates(
+                poses, None, retain_ratio=cfg.eval.retain_ratio,
+                clustering=cfg.eval.clustering, eps=cfg.eval.clustering_eps,
+                minpts_ratio=cfg.eval.clustering_minpts_ratio,
+            )
+            nxt = jnp.concatenate(
+                [matrix_to_rot6d_cols(agg["rotation"]), agg["translation"]],
+                axis=-1,
+            )
+            return nxt, None
+
+        prev, _ = jax.lax.scan(body, prev0, jax.random.split(key, reps))
+        return prev
+
+    prev0 = jnp.zeros((B, 9), jnp.float32).at[:, 0].set(1.0).at[:, 4].set(1.0)
+    prev = tracking_loop(state, batch, prev0, jax.random.PRNGKey(77))
+    _ = float(prev[0, 0])
+    best_tr = float("inf")
+    for i in range(3):
+        start = time.perf_counter()
+        prev = tracking_loop(state, batch, prev0, jax.random.PRNGKey(200 + i))
+        _ = float(prev[0, 0])
+        best_tr = min(best_tr, time.perf_counter() - start)
+    frames_per_s = streams * reps / best_tr
+
     print(
         json.dumps(
             {
@@ -128,6 +175,12 @@ def main():
                     "+ aggregation)"
                 ),
                 "vs_baseline": round(cand_per_s / BASELINE_CANDIDATES_PER_S, 2),
+                "tracking_frames_per_s": round(frames_per_s, 1),
+                "tracking_unit": (
+                    "video frames/s (16 streams x 4 objects multiplexed, "
+                    "warm-start T0=0.25, 50-step ODE x K=50 per object, "
+                    "pixels-to-pose per frame)"
+                ),
             }
         )
     )

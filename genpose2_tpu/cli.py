@@ -34,6 +34,8 @@ from genpose2_tpu.config import (
 
 
 def build_config(args) -> Config:
+    if getattr(args, "sampler_mode", None) == "edm" and args.sde_mode != "edm":
+        raise SystemExit("--sampler_mode edm requires --sde_mode edm")
     cfg = default_config()
     model = ModelConfig(
         pose_mode=args.pose_mode,
@@ -106,7 +108,10 @@ def add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--img_size", type=int, default=256)
     p.add_argument("--per_obj", type=str, default="")
     p.add_argument("--percentage_data", type=float, default=1.0)
-    p.add_argument("--sampler_mode", type=str, default="fixed", choices=["fixed", "rk45", "pc", "euler"])
+    # 'edm' = Karras-Heun over the EDM denoiser; requires --sde_mode edm
+    # (reference: configs/config.py:28-31, samplers.py:261-340)
+    p.add_argument("--sampler_mode", type=str, default="fixed",
+                   choices=["fixed", "rk45", "pc", "euler", "edm"])
     p.add_argument("--sampling_steps", type=int, default=100)
     p.add_argument("--sde_mode", type=str, default="ve")
     p.add_argument("--regression_head", type=str, default="Rx_Ry_and_T")
@@ -153,8 +158,13 @@ def add_common_flags(p: argparse.ArgumentParser):
 
 
 def make_loader_fn(cfg: Config, mode: str, agent_type: str = "score"):
+    """Build an epoch -> batch-iterable factory. Multi-host
+    (jax.process_count() > 1): cfg.train.batch_size is the GLOBAL batch size;
+    every host loads only its 1/process_count shard, and the Trainer
+    assembles the global sharded array (SURVEY §2.8 per-host data loading)."""
     from genpose2_tpu.data.loader import DataLoader
 
+    n_proc = jax.process_count()
     if cfg.data.source == "synthetic":
         import jax.numpy as jnp
 
@@ -166,6 +176,9 @@ def make_loader_fn(cfg: Config, mode: str, agent_type: str = "score"):
         def loader_fn(epoch, steps_per_epoch=50):
             for i in range(steps_per_epoch):
                 key = jax.random.PRNGKey(epoch * 1000 + i)
+                # the GLOBAL batch is generated from the shared seed on every
+                # host, then sliced locally — hosts stay bit-identical to the
+                # single-process run
                 b = data.batch(key, cfg.train.batch_size)
                 if agent_type == "scale":
                     # noised GT axes for scale training (reference:
@@ -178,6 +191,11 @@ def make_loader_fn(cfg: Config, mode: str, agent_type: str = "score"):
                     )
                     b = dict(b)
                     b["axes_training"] = noised.reshape(B, S, 3, 3)
+                if n_proc > 1:
+                    from genpose2_tpu.parallel.distributed import host_local_slice
+
+                    sl = host_local_slice(cfg.train.batch_size)
+                    b = jax.tree.map(lambda x: np.asarray(x)[sl], dict(b))
                 yield b
 
         return loader_fn
@@ -192,7 +210,12 @@ def make_loader_fn(cfg: Config, mode: str, agent_type: str = "score"):
 
     def loader_fn(epoch):
         return DataLoader(
-            ds, cfg.train.batch_size, shuffle=(mode == "train"), seed=cfg.train.seed + epoch
+            ds,
+            cfg.train.batch_size // n_proc,
+            shuffle=(mode == "train"),
+            seed=cfg.train.seed + epoch,
+            shard_index=jax.process_index(),
+            num_shards=n_proc,
         )
 
     return loader_fn
@@ -212,10 +235,13 @@ def cmd_train(args):
             process_id=args.host_id,
         )
     mesh = None
-    if args.data_parallel != 1:
+    if args.data_parallel != 1 or jax.process_count() > 1:
         from genpose2_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(data=args.data_parallel, cand=1)
+        # multi-host: the mesh must span ALL processes' devices (data=0 =
+        # every device) so per-host shards assemble into one global batch
+        data_axis = args.data_parallel if args.data_parallel > 1 else 0
+        mesh = make_mesh(data=data_axis, cand=1)
 
     frozen = None
     if args.agent_type in ("energy_with_ranking", "scale") and args.score_ckpt:
@@ -227,7 +253,7 @@ def cmd_train(args):
         first = next(iter(loader_fn0(0)))
         batch0 = first if "zero_mean_gt_pose" in first else process_batch(first, cfg.model.pose_mode)
         ss = sa.init_state(jax.random.PRNGKey(0), batch0)
-        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg)
+        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg, provider=sa.provider)
         frozen = (sa, ss)
 
     trainer = Trainer(
@@ -248,7 +274,30 @@ def cmd_train(args):
     first = next(iter(loader_fn(0)))
     batch0 = first if "zero_mean_gt_pose" in first else process_batch(first, cfg.model.pose_mode)
     trainer.init(jax.random.PRNGKey(cfg.train.seed), batch0)
-    trainer.fit(loader_fn)
+
+    # periodic in-training sampling eval on a held-out batch, every
+    # cfg.train.eval_freq epochs (reference: runners/trainer.py:87-103,
+    # posenet_agent.py:400-488 eval_score_func)
+    eval_fn = None
+    if args.agent_type != "scale":
+        from genpose2_tpu.training.eval_hooks import make_sampling_eval_fn
+
+        eval_loader_fn = make_loader_fn(cfg, "test", args.agent_type)
+
+        def eval_batch_fn(epoch):
+            raw = next(iter(eval_loader_fn(10_000 + epoch)))
+            return (
+                raw
+                if "zero_mean_gt_pose" in raw
+                else process_batch(raw, cfg.model.pose_mode)
+            )
+
+        eval_fn = make_sampling_eval_fn(
+            trainer.agent, cfg, eval_batch_fn, log_dir=args.log_dir,
+            repeat_num=min(10, cfg.eval.eval_repeat_num),
+            num_steps=cfg.sampler.sampling_steps,
+        )
+    trainer.fit(loader_fn, eval_fn=eval_fn)
 
 
 def _load_eval_agents(cfg, args, batch0):
@@ -262,12 +311,12 @@ def _load_eval_agents(cfg, args, batch0):
     sa = PoseAgent(cfg, "score")
     ss = sa.init_state(jax.random.PRNGKey(0), batch0)
     if args.score_ckpt:
-        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg)
+        ss = load_params_only(args.score_ckpt, ss, use_ema_as_params=True, cfg=cfg, provider=sa.provider)
     ea = es = None
     if args.energy_ckpt:
         ea = PoseAgent(cfg, "energy")
         es = ea.init_state(jax.random.PRNGKey(0), batch0)
-        es = load_params_only(args.energy_ckpt, es, use_ema_as_params=True, cfg=cfg)
+        es = load_params_only(args.energy_ckpt, es, use_ema_as_params=True, cfg=cfg, provider=ea.provider)
     scale_fn = None
     if args.scale_ckpt:
         sc = ScaleAgent(cfg)
@@ -275,10 +324,13 @@ def _load_eval_agents(cfg, args, batch0):
         scs = sc.init_state(jax.random.PRNGKey(0), pts_dim=pts_dim)
         scs = load_params_only(args.scale_ckpt, scs, use_ema_as_params=True, cfg=cfg)
 
-        def scale_fn(batch, R, t):
+        def scale_fn(batch, R, t, pts_feat=None):
             # ScaleNet consumes the frozen score encoder's feature + the
-            # predicted axes (reference: evaluation_single.py:222-288)
-            pts_feat, _ = sa.extract_features(ss, batch)
+            # predicted axes (reference: evaluation_single.py:222-288).
+            # Callers that already ran the score encoder pass its pts_feat to
+            # avoid a redundant backbone+encoder forward.
+            if pts_feat is None:
+                pts_feat, _ = sa.extract_features(ss, batch)
             return sc.predict(scs, pts_feat, R)
 
     return sa, ss, ea, es, scale_fn

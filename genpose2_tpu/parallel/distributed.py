@@ -45,12 +45,15 @@ def host_local_slice(global_batch_size: int) -> slice:
     return slice(start, start + per_host)
 
 
-def global_batch_from_host_local(local_batch, mesh):
+def global_batch_from_host_local(local_batch, mesh, spec=None):
     """Assemble a globally-sharded batch from per-host local arrays
-    (jax.make_array_from_process_local_data over the 'data' axis)."""
+    (jax.make_array_from_process_local_data over the 'data' axis).
+
+    ``spec``: PartitionSpec for every leaf; defaults to P('data') (leading
+    batch axis). Scan-stacked (S, B, ...) chunks pass P(None, 'data')."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P("data"))
+    sharding = NamedSharding(mesh, P("data") if spec is None else spec)
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         local_batch,

@@ -52,10 +52,20 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (parameters / train state) across the mesh."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
-    )
+    """Fully replicate a pytree (parameters / train state) across the mesh.
+
+    Multi-process: device_put cannot target non-addressable devices, so the
+    global replicated array is assembled from the (identical) host-local
+    value on every process."""
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
 def shard_candidates(mesh: Mesh):

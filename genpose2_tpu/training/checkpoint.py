@@ -45,6 +45,7 @@ def load_params_only(
     target: TrainState,
     use_ema_as_params: bool = False,
     cfg=None,
+    provider=None,
 ) -> TrainState:
     """Model-weights-only restore (reference ``load_model_only`` flag,
     posenet_agent.py:171-203): keeps the target's optimizer/step, takes
@@ -55,9 +56,10 @@ def load_params_only(
     A ``.pth``/``.pt`` path is treated as a REFERENCE torch checkpoint and
     converted via training/torch_ingest.py — pass ``cfg`` (a Config or
     ModelConfig) for GFObjectPose checkpoints; ScaleNet torch checkpoints are
-    detected by their key space and need no cfg."""
+    detected by their key space and need no cfg. ``provider`` (the agent's
+    ImageFeatureProvider) ingests any embedded 'dino.*' backbone subtree."""
     if is_torch_checkpoint(path):
-        return load_torch_params_only(path, target, cfg)
+        return load_torch_params_only(path, target, cfg, provider)
     restored = load_checkpoint(path, target)
     params = restored.ema_params if use_ema_as_params else restored.params
     return target.replace(
@@ -68,23 +70,30 @@ def load_params_only(
     )
 
 
-def load_torch_params_only(path: str, target: TrainState, cfg=None) -> TrainState:
+def load_torch_params_only(
+    path: str, target: TrainState, cfg=None, provider=None
+) -> TrainState:
     """Convert a reference torch checkpoint into ``target``'s weight slots.
     The torch dict holds ONE copy of the weights (the reference folds EMA in
     at save time, posenet_agent.py:150-156), so params and ema_params both get
     the converted tree.
 
-    NOTE: if the checkpoint embeds the hub DINO backbone ('dino.*' keys,
-    reference: posenet.py:56-62), those weights belong to the EXTERNAL ViT
-    provider, not this TrainState — load them separately:
-        vs, dino_sd = torch_ingest.load_torch_checkpoint(path, cfg.model)
-        vit_vars = models.vit.load_torch_state_dict(vit_vars, dino_sd)"""
+    If the checkpoint embeds the hub DINO backbone ('dino.*' keys,
+    reference: posenet.py:56-62) and ``provider`` is given, the subtree is
+    ingested into the provider variables riding in ``target.constants`` —
+    one command takes a published reference .pth to a runnable flagship
+    state. Without a provider the dino subtree is skipped with a warning."""
     import torch
 
+    from genpose2_tpu.models.provider import (
+        attach_provider_variables,
+        split_provider_variables,
+    )
     from genpose2_tpu.training import torch_ingest
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt)
+    dino_sd = None
     if any(k.startswith("fusion_tail_length.") for k in sd):
         vs = torch_ingest.convert_scalenet_state_dict(sd)
     else:
@@ -92,19 +101,28 @@ def load_torch_params_only(path: str, target: TrainState, cfg=None) -> TrainStat
             raise ValueError("GFObjectPose torch checkpoints need cfg for conversion")
         model_cfg = getattr(cfg, "model", cfg)
         vs, dino_sd = torch_ingest.convert_posenet_state_dict(sd, model_cfg)
-        if dino_sd:
+
+    # the model's constants come from the checkpoint; the provider entry in
+    # target.constants (the frozen backbone) must survive the replace
+    _, target_provider_vars = split_provider_variables(target.constants)
+    constants = jax.tree.map(jnp.asarray, vs.get("constants", {})) or {}
+    if target_provider_vars is not None:
+        provider_vars = target_provider_vars
+        if dino_sd and provider is not None:
+            provider_vars = provider.load_torch_state_dict(provider_vars, dino_sd)
+        elif dino_sd:
             import warnings
 
             warnings.warn(
-                f"{path} embeds {len(dino_sd)} DINO backbone tensors; they are NOT "
-                "loaded here — feed them to models.vit.load_torch_state_dict "
-                "(see torch_ingest.load_torch_checkpoint).",
+                f"{path} embeds {len(dino_sd)} DINO backbone tensors but no "
+                "provider was passed — backbone weights NOT loaded.",
                 stacklevel=2,
             )
+        constants = attach_provider_variables(constants, provider_vars)
     params = jax.tree.map(jnp.asarray, vs["params"])
     return target.replace(
         params=params,
         ema_params=params,
         batch_stats=jax.tree.map(jnp.asarray, vs.get("batch_stats", target.batch_stats)),
-        constants=jax.tree.map(jnp.asarray, vs.get("constants", target.constants)),
+        constants=constants,
     )

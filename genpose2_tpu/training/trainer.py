@@ -35,20 +35,28 @@ from genpose2_tpu.utils.logging import MetricsLogger
 
 
 def zero_init_energy_heads(state: TrainState) -> TrainState:
-    """Zero the energy net's output layers after loading score weights
-    (reference: energynet.py:129-148 output_zero_initial)."""
-    params = jax.tree_util.tree_map_with_path(
-        lambda path, x: (
-            jnp.zeros_like(x)
-            if any(
-                getattr(p, "key", None) in ("fusion_tail_rot_x", "fusion_tail_rot_y", "fusion_tail_trans")
-                for p in path
-            )
-            and any(getattr(p, "key", "").startswith("Dense_1") for p in path)
-            else x
-        ),
-        state.params,
+    """Zero the energy net's output layers after loading score weights,
+    for WHICHEVER regression head is configured (reference: energynet.py:
+    129-148 output_zero_initial zeroes the configured head's output MLPs).
+
+    Head modules inside ``params['pose_net']``: the named ``fusion_tail_*``
+    MLPs (Rx_Ry_and_T) or the anonymous ``MLP_1``/``MLP_2`` (RT / R_and_T) —
+    ``MLP_0`` is the pose trunk and keeps its loaded weights. Every head MLP
+    is two layers, so its output layer is ``Dense_1``."""
+    head_names = (
+        "fusion_tail_rot_x", "fusion_tail_rot_y", "fusion_tail_trans",
+        "MLP_1", "MLP_2",
     )
+
+    def maybe_zero(path, x):
+        keys = [getattr(p, "key", None) for p in path]
+        if "pose_net" not in keys:
+            return x
+        in_head = any(k in head_names for k in keys)
+        is_final = "Dense_1" in keys
+        return jnp.zeros_like(x) if (in_head and is_final) else x
+
+    params = jax.tree_util.tree_map_with_path(maybe_zero, state.params)
     return state.replace(params=params, ema_params=params)
 
 
@@ -120,7 +128,7 @@ class Trainer:
             self.state = self.agent.init_state(key, sample_batch)
             if self.agent_type.startswith("energy") and self.score_ckpt:
                 # energy net warm-started from score weights + zeroed heads
-                self.state = load_params_only(self.score_ckpt, self.state, cfg=self.cfg)
+                self.state = load_params_only(self.score_ckpt, self.state, cfg=self.cfg, provider=getattr(self.agent, 'provider', None))
                 self.state = zero_init_energy_heads(self.state)
         if self.resume_from:
             # exact resume: step/optimizer/EMA restored
@@ -160,23 +168,39 @@ class Trainer:
             batch["candidate_metrics"] = cmet
         return batch
 
+    def _place_batch(self, batch, stacked: bool):
+        """Put a prepared (host-local) batch onto the mesh. Single-process:
+        device_put with a 'data' sharding. Multi-process: every host holds
+        only its shard of the global batch, so the global array is assembled
+        with make_array_from_process_local_data (SURVEY §2.8; the reference's
+        gloo counterpart is dead code, utils/misc.py:14-27)."""
+        if self.mesh is None:
+            return batch
+        if jax.process_count() > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from genpose2_tpu.parallel.distributed import global_batch_from_host_local
+
+            spec = P(None, "data") if stacked else P("data")
+            return global_batch_from_host_local(batch, self.mesh, spec=spec)
+        if stacked:
+            from genpose2_tpu.parallel.mesh import shard_stacked_batch
+
+            return shard_stacked_batch(batch, self.mesh)
+        from genpose2_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
     def _dispatch_chunk(self, chunk, key):
         """One device dispatch for >=1 prepared batches: a single train_step,
         or a lax.scan over the stacked chunk (PoseAgent.train_steps) — the
         optimizer state stays device-resident and the ~30 ms/dispatch host
         round trip is amortized over scan_chunk steps."""
         if len(chunk) == 1:
-            batch = chunk[0]
-            if self.mesh is not None:
-                from genpose2_tpu.parallel.mesh import shard_batch
-
-                batch = shard_batch(batch, self.mesh)
+            batch = self._place_batch(chunk[0], stacked=False)
             return self.agent.train_step(self.state, batch, key)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *chunk)
-        if self.mesh is not None:
-            from genpose2_tpu.parallel.mesh import shard_stacked_batch
-
-            stacked = shard_stacked_batch(stacked, self.mesh)
+        stacked = self._place_batch(stacked, stacked=True)
         state, metrics = self.agent.train_steps(self.state, stacked, key)
         return state, jax.tree.map(lambda m: m[-1], metrics)
 

@@ -78,6 +78,11 @@ class TestCliThreeAgentChain:
         cli.cmd_train(_args(agent_type="score", log_dir=score_dir, n_epochs=1))
         score_ckpt = os.path.join(score_dir, "ckpt", "final")
         assert os.path.exists(score_ckpt)
+        # the in-training sampling eval hook ran on the final epoch and its
+        # metrics landed in the JSONL (reference: runners/trainer.py:87-103)
+        with open(os.path.join(score_dir, "score_metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        assert any("eval_deg_mean" in r for r in recs), recs
 
         # 2. train ScaleNet on the frozen score encoder
         scale_dir = str(tmp_path / "scale")

@@ -67,3 +67,72 @@ class TestMesh:
         fn, (variables, data) = ge.entry()
         shapes = jax.eval_shape(fn, variables, data)
         assert shapes.shape == (2, 9)
+
+
+class TestMultiHostTraining:
+    """2-process jax.distributed run through the REAL multi-host data path
+    (cli.make_loader_fn host shards + Trainer's global_batch_from_host_local)
+    must match the single-process run on the same 4 global devices
+    (VERDICT r2 #5)."""
+
+    def _run(self, nproc, tmp_path):
+        import json
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        # a free port per run: fixed ports collide with leaked runners from
+        # earlier (killed) sessions and hang the gloo rendezvous forever
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        procs = []
+        for pid in range(nproc):
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env.pop("JAX_PLATFORMS", None)
+            env.pop("XLA_FLAGS", None)
+            env.update(
+                MH_NPROC=str(nproc),
+                MH_PID=str(pid),
+                MH_COORD=f"127.0.0.1:{port}",
+                MH_LOGDIR=str(tmp_path / f"n{nproc}"),
+                PYTHONPATH=os.path.dirname(os.path.dirname(__file__)),
+            )
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, os.path.join(os.path.dirname(__file__), "multihost_runner.py")],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
+                    text=True,
+                )
+            )
+        outs = []
+        try:
+            for p in procs:
+                out, err = p.communicate(timeout=420)
+                assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err[-3000:]}"
+                line = [l for l in out.splitlines() if l.startswith("{")][-1]
+                outs.append(json.loads(line))
+        finally:
+            for p in procs:  # never leak runners (they can deadlock peers)
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        return outs
+
+    @pytest.mark.slow
+    def test_two_process_matches_single(self, tmp_path):
+        single = self._run(1, tmp_path)[0]
+        duo = self._run(2, tmp_path)
+        assert single["step"] == 8
+        for r in duo:
+            assert r["step"] == 8
+            # identical global batches + replicated params => same training
+            # trajectory (float tolerance for reduction-order differences)
+            assert abs(r["loss"] - single["loss"]) < 1e-4, (r, single)
+            rel = abs(r["checksum"] - single["checksum"]) / max(single["checksum"], 1e-9)
+            assert rel < 1e-5, (r, single)

@@ -303,3 +303,39 @@ class TestScannedTrainerAndMesh:
         assert int(tr2.state.step) == 3  # restored, not fresh
         state = tr2.fit(loader_fn, epochs=2)
         assert int(state.step) == 6  # only epoch 2 ran
+
+
+class TestZeroInitAllHeads:
+    """zero_init_energy_heads must zero the output layer of WHICHEVER
+    regression head is configured (reference: energynet.py:129-148), not just
+    the named Rx_Ry_and_T fusion tails."""
+
+    @pytest.mark.parametrize("head", ["RT", "R_and_T", "Rx_Ry_and_T"])
+    def test_energy_is_zero_after_reinit(self, head):
+        import dataclasses
+
+        from genpose2_tpu.training.trainer import zero_init_energy_heads
+
+        cfg = CFG.replace(model=dataclasses.replace(CFG.model, regression_head=head))
+        data = SyntheticPoseData(num_points=cfg.model.num_points)
+        agent = PoseAgent(cfg, "energy", 10)
+        b = data.batch(jax.random.PRNGKey(0), 4)
+        state = agent.init_state(jax.random.PRNGKey(0), b)
+        # simulate loading non-zero score weights into every leaf
+        # (get_energy reads the EMA params, zero_init_energy_heads sets both)
+        nonzero = jax.tree.map(lambda x: x + 0.05, state.params)
+        dirty = state.replace(params=nonzero, ema_params=nonzero)
+        poses = jnp.ones((4, 2, 9))
+        e_dirty = np.asarray(agent.get_energy(dirty, b, poses))
+        assert np.abs(e_dirty).max() > 0  # heads really were non-zero
+
+        clean = zero_init_energy_heads(dirty)
+        e = np.asarray(agent.get_energy(clean, b, poses))
+        # IP energy = <pose, f_theta/std>; zeroed head output => exactly 0
+        np.testing.assert_array_equal(e, np.zeros_like(e))
+
+        # the pose trunk (MLP_0) and t-embed Dense keep their loaded weights
+        trunk_before = jax.tree_util.tree_leaves(dirty.params["pose_net"]["MLP_0"])
+        trunk_after = jax.tree_util.tree_leaves(clean.params["pose_net"]["MLP_0"])
+        for x, y in zip(trunk_before, trunk_after):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
