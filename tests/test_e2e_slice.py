@@ -78,7 +78,13 @@ class TestEDMEndToEnd:
         import dataclasses
 
         cfg = tiny_test_config()
-        return cfg.replace(sde=dataclasses.replace(cfg.sde, mode="edm"))
+        # same reasoning as the tiny config's VE sigma_max=2.0: the reference
+        # sigma_max=80 needs far more training than a CPU unit-test budget
+        # before large-sigma denoising is accurate enough to pull the
+        # trajectory onto the data scale (full-size runs keep 80)
+        return cfg.replace(
+            sde=dataclasses.replace(cfg.sde, mode="edm", edm_sigma_max=2.0)
+        )
 
     def test_decoder_agent_builds_and_trains(self):
         cfg = self._edm_cfg()
