@@ -210,6 +210,15 @@ class DinoV3Attention(nn.Module):
     identity on cls/storage rows is algebraically the reference's
     rotate-patches-only, without the prefix split/concat layout round trip.
 
+    The rotate-half permutation is FOLDED INTO THE PROJECTION WEIGHTS:
+    rope(q) = (x @ Wq) * cos + (x @ rot(Wq)) * sin, where rot permutes/negates
+    the kernel's output columns once per forward ((D, 2D) of weight traffic,
+    ~0.2% of the activation FLOPs). The activation-side rotate-half — a
+    32-lane swap relayout on the (B, N, 3D) qkv tensor that measured ~25% of
+    the ViT's non-attention time — disappears; RoPE becomes two pure
+    elementwise multiplies fused into the qkv matmul's epilogue. The param
+    tree keeps the exact nn.Dense(name='qkv') layout for checkpoint parity.
+
     The attention core runs in the fused VMEM kernel (ops/vit_attention.py);
     softmax is f32 either way (parity: tests/test_vit_weights.py)."""
 
@@ -224,19 +233,38 @@ class DinoV3Attention(nn.Module):
         B, N, D = x.shape
         H = self.num_heads
         hd = D // H
-        # RoPE runs in the compute dtype: in bf16 configs the (B, N, 3D) qkv
-        # tensor never round-trips HBM at f32 (the rotation is elementwise and
-        # orthonormal; bf16 rounding is within the frozen-feature tolerance)
+        h2 = hd // 2
         dt = self.dtype or jnp.float32
-        qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(x)
-        qkv = qkv.reshape(B, N, 3, H, hd).astype(dt)
-        q = rope_rotate(qkv[:, :, 0], sin.astype(dt), cos.astype(dt))
-        k = rope_rotate(qkv[:, :, 1], sin.astype(dt), cos.astype(dt))
-        v = qkv[:, :, 2]
-        out = vit_attention(
-            q.reshape(B, N, D), k.reshape(B, N, D), v.reshape(B, N, D), H
-        )
-        return nn.Dense(D, name="proj", dtype=self.dtype)(out.astype(dt))
+
+        kernel, bias = _DenseParams(D, 3 * D, name="qkv")()
+
+        def rot_cols(w):
+            # rotate-half on the OUTPUT columns, per head: col i <- -col(i+h2),
+            # col i+h2 <- col i  (matches rope_rotate's concat(-x2, x1))
+            wh = w.reshape(-1, H, hd)
+            out = jnp.concatenate([-wh[..., h2:], wh[..., :h2]], axis=-1)
+            return out.reshape(w.shape)
+
+        Wq, Wk = kernel[:, :D], kernel[:, D : 2 * D]
+        bq, bk = bias[:D], bias[D : 2 * D]
+        W5 = jnp.concatenate([kernel, rot_cols(Wq), rot_cols(Wk)], axis=1)
+        b5 = jnp.concatenate([bias, rot_cols(bq[None])[0], rot_cols(bk[None])[0]])
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            W5 = W5.astype(self.dtype)
+        out = (
+            jnp.dot(x, W5, preferred_element_type=jnp.float32) + b5
+        ).astype(dt)  # (B, N, 5D): [q | k | v | rot(q) | rot(k)]
+
+        # tables arrive tiled to (N, D) (per-head-identical lanes): RoPE is
+        # elementwise on (B, N, D) with no reshape/transpose
+        cosD = cos.astype(dt)[None]
+        sinD = sin.astype(dt)[None]
+        q = out[..., :D] * cosD + out[..., 3 * D : 4 * D] * sinD
+        k = out[..., D : 2 * D] * cosD + out[..., 4 * D : 5 * D] * sinD
+        v = out[..., 2 * D : 3 * D]
+        att = vit_attention(q, k, v, H)
+        return nn.Dense(D, name="proj", dtype=self.dtype)(att.astype(dt))
 
 
 class _DenseParams(nn.Module):
@@ -292,7 +320,10 @@ class DinoV3Block(nn.Module):
             if self.dtype is not None:
                 h = h.astype(self.dtype)
                 w12 = w12.astype(self.dtype)
-            ab = jnp.dot(h, w12, preferred_element_type=jnp.float32) + b12
+            # cast to the compute dtype immediately: the (B, N, 2*hidden)
+            # intermediate is the block's largest tensor and silu/mul are
+            # precision-insensitive here (f32 accumulation already happened)
+            ab = (jnp.dot(h, w12, preferred_element_type=jnp.float32) + b12).astype(dt)
             a, b = ab[..., : self.ffn_hidden], ab[..., self.ffn_hidden :]
             h = nn.Dense(self.dim, name="mlp_w3", dtype=self.dtype)(
                 (nn.silu(a) * b).astype(dt)
@@ -365,6 +396,10 @@ class DinoV3ViT(nn.Module):
         # DinoV3Attention) so q/k rotate without a split/concat
         sin = jnp.concatenate([jnp.zeros((num_prefix, sin.shape[1]), sin.dtype), sin])
         cos = jnp.concatenate([jnp.ones((num_prefix, cos.shape[1]), cos.dtype), cos])
+        # tile per-head-identical tables to (N, D) once for all blocks (the
+        # attention applies them lane-elementwise, no per-block reshapes)
+        sin = jnp.tile(sin, (1, self.num_heads))
+        cos = jnp.tile(cos, (1, self.num_heads))
 
         final_norm = nn.LayerNorm(name="norm")
         outputs = []

@@ -71,8 +71,13 @@ def main():
         return agent.provider.patch_features(provider_vars, c)
 
     if "vit" in stages:
+        # consume ALL THREE intermediate outputs: reading only outs[0]
+        # (block 2) lets XLA dead-code-eliminate blocks 3..11
         t = steady(
-            lambda carry, k, c: vit_layers(c + 0.0 * carry)[0][0, 0, 0], crops
+            lambda carry, k, c: sum(
+                o[0, 0, 0] for o in vit_layers(c + 0.0 * carry)
+            ),
+            crops,
         )
         print(f"ViT-S+/16 (3 layers, {B} x {img}px): {t*1e3:8.2f} ms", flush=True)
 
