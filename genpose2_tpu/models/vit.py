@@ -227,7 +227,7 @@ class DinoV3Attention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, sin, cos):
+    def __call__(self, x, sin, cos, n_valid: Optional[int] = None):
         from genpose2_tpu.ops.vit_attention import vit_attention
 
         B, N, D = x.shape
@@ -263,7 +263,15 @@ class DinoV3Attention(nn.Module):
         q = out[..., :D] * cosD + out[..., 3 * D : 4 * D] * sinD
         k = out[..., D : 2 * D] * cosD + out[..., 4 * D : 5 * D] * sinD
         v = out[..., 2 * D : 3 * D]
-        att = vit_attention(q, k, v, H)
+        sublane = 8 if dt == jnp.float32 else 16
+        if N % sublane == 0:
+            # token axis already tile-padded (whole-network pad in DinoV3ViT):
+            # the token-major kernel needs no head-major transposes at all
+            from genpose2_tpu.ops.vit_attention import vit_attention_tm
+
+            att = vit_attention_tm(q, k, v, H, n_valid=n_valid)
+        else:
+            att = vit_attention(q, k, v, H, n_valid=n_valid)
         return nn.Dense(D, name="proj", dtype=self.dtype)(att.astype(dt))
 
 
@@ -294,14 +302,14 @@ class DinoV3Block(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, sin, cos):
+    def __call__(self, x, sin, cos, n_valid: Optional[int] = None):
         # The residual stream runs in the compute dtype (bf16 in the frozen
         # eval config): halves every elementwise HBM round trip. LayerNorm
         # statistics still accumulate in f32 (the cast fuses into the reduce).
         dt = self.dtype or jnp.float32
         h = nn.LayerNorm(name="norm1", dtype=jnp.float32)(x)
         h = DinoV3Attention(self.dim, self.num_heads, name="attn", dtype=self.dtype)(
-            h, sin, cos
+            h, sin, cos, n_valid
         )
         gamma1 = self.param(
             "ls1", nn.initializers.constant(self.layer_scale_init), (self.dim,)
@@ -401,6 +409,25 @@ class DinoV3ViT(nn.Module):
         sin = jnp.tile(sin, (1, self.num_heads))
         cos = jnp.tile(cos, (1, self.num_heads))
 
+        # pad the token axis to the sublane tile ONCE for all 12 blocks: the
+        # attention kernel would otherwise pay pad + slice + layout copies
+        # per block (measured ~5.5 ms of a 15 ms forward at N=261, B=64).
+        # Pad rows carry garbage that never contaminates real tokens (keys
+        # are masked at n_valid inside the kernel) and are sliced off here at
+        # the very end.
+        N = tokens.shape[1]
+        sub = 8 if (self.dtype is None or self.dtype == jnp.float32) else 16
+        Np = ((N + sub - 1) // sub) * sub
+        n_valid = N
+        if Np != N:
+            tokens = jnp.pad(tokens, ((0, 0), (0, Np - N), (0, 0)))
+            sin = jnp.concatenate(
+                [sin, jnp.zeros((Np - N, sin.shape[1]), sin.dtype)]
+            )
+            cos = jnp.concatenate(
+                [cos, jnp.ones((Np - N, cos.shape[1]), cos.dtype)]
+            )
+
         final_norm = nn.LayerNorm(name="norm")
         outputs = []
         for i in range(self.depth):
@@ -411,15 +438,15 @@ class DinoV3ViT(nn.Module):
                 self.ffn_layer,
                 name=f"block_{i}",
                 dtype=self.dtype,
-            )(tokens, sin, cos)
+            )(tokens, sin, cos, n_valid)
             if i in intermediate:
                 t = final_norm(tokens) if norm else tokens
-                outputs.append(t[:, num_prefix:])
+                outputs.append(t[:, num_prefix:N])
         if intermediate:
             return outputs
         if return_class_token:
             return final_norm(tokens)[:, 0]
-        return final_norm(tokens)[:, num_prefix:]
+        return final_norm(tokens)[:, num_prefix:N]
 
 
 def vit_s16plus(**kw) -> DinoV3ViT:

@@ -74,19 +74,25 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads, head_dim, n_valid):
         out_ref[h] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "out_dtype"))
-def vit_attention(q, k, v, num_heads: int, out_dtype=jnp.float32):
+@functools.partial(jax.jit, static_argnames=("num_heads", "out_dtype", "n_valid"))
+def vit_attention(q, k, v, num_heads: int, out_dtype=jnp.float32, n_valid=None):
     """q, k, v (B, N, D) token-major (D = num_heads * head_dim) ->
     (B, N, D) f32 (or ``out_dtype``) multi-head attention output.
 
     Equivalent to softmax(q_h k_h^T / sqrt(hd)) v_h per head with heads taken
     as contiguous D-slices — exactly the layout the fused qkv projection
     emits, so no head-major transpose exists on either side.
+
+    ``n_valid``: number of real tokens when the caller already padded N to
+    the sublane tile (DinoV3ViT pads ONCE for all 12 blocks instead of
+    paying a pad+slice per block); keys >= n_valid are masked, query rows
+    >= n_valid produce garbage the caller slices off at the very end.
     """
     B, N, D = q.shape
     assert D % num_heads == 0
     H = num_heads
     hd = D // H
+    n_valid = N if n_valid is None else n_valid
     # sublane tile: 8 for f32, 16 for bf16 (and other sub-f32 dtypes)
     sublane = 8 if q.dtype == jnp.float32 else 16
     Np = _round_up(N, sublane)
@@ -99,7 +105,7 @@ def vit_attention(q, k, v, num_heads: int, out_dtype=jnp.float32):
 
     spec = pl.BlockSpec((H, Np, hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, num_heads=H, head_dim=hd, n_valid=N),
+        functools.partial(_kernel, num_heads=H, head_dim=hd, n_valid=n_valid),
         grid=(B,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
@@ -110,6 +116,57 @@ def vit_attention(q, k, v, num_heads: int, out_dtype=jnp.float32):
     )(to_head_major(q), to_head_major(k), to_head_major(v))
     out = out[:, :N].reshape(B, H, N, hd).transpose(0, 2, 1, 3)
     return out.reshape(B, N, D)
+
+
+def _kernel_tm(q_ref, k_ref, v_ref, out_ref, *, num_heads, head_dim, n_valid):
+    """Token-major variant: q/k/v (1, Np, D) stay in the layout the qkv
+    matmul produced; the per-head split is a static 64-lane VMEM-ref slice
+    INSIDE the kernel instead of an XLA head-major transpose outside (the
+    transposes measured ~2 ms/fwd as 48 'copy' ops at the flagship shape).
+    Odd heads cost a lane rotation on load/store; even heads are tile-aligned.
+    """
+    Np = q_ref.shape[1]
+    scale = 1.0 / (head_dim ** 0.5)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Np), dimension=1)
+    neg = jnp.where(lane < n_valid, 0.0, -1e9).astype(jnp.float32)
+
+    for h in range(num_heads):
+        sl = pl.dslice(h * head_dim, head_dim)
+        q = q_ref[0, :, sl]  # (Np, hd)
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = scores * scale + neg
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        out_ref[0, :, sl] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "out_dtype", "n_valid"))
+def vit_attention_tm(q, k, v, num_heads: int, out_dtype=jnp.float32, n_valid=None):
+    """Token-major fused attention: (B, N, D) in, (B, N, D) out, no XLA
+    transposes. Requires N already padded to the sublane tile (the DinoV3ViT
+    whole-network pad). Parity: tests/test_ops.py::TestViTAttention."""
+    B, N, D = q.shape
+    assert D % num_heads == 0
+    hd = D // num_heads
+    n_valid = N if n_valid is None else n_valid
+    sublane = 8 if q.dtype == jnp.float32 else 16
+    assert N % sublane == 0, (N, sublane)
+
+    spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_tm, num_heads=num_heads, head_dim=hd, n_valid=n_valid),
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), out_dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v)
 
 
 def vit_attention_reference(q, k, v, num_heads: int):

@@ -451,3 +451,51 @@ class TestViTAttention:
         got = vit_attention(q, k, v, H)
         want = vit_attention_reference(q, k, v, H)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+class TestViTAttentionTokenMajor:
+    """Token-major kernel (in-kernel head slicing, no XLA transposes) vs the
+    dense oracle, including masked padding rows."""
+
+    def test_parity_f32_padded(self):
+        import numpy as np
+        from genpose2_tpu.ops.vit_attention import (
+            vit_attention_reference,
+            vit_attention_tm,
+        )
+
+        rng = np.random.default_rng(2)
+        B, N, H, hd = 2, 272, 4, 64  # padded; 261 valid
+        D = H * hd
+        n_valid = 261
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+            for _ in range(3)
+        )
+        got = vit_attention_tm(q, k, v, H, n_valid=n_valid)
+        want = vit_attention_reference(
+            q[:, :n_valid], k[:, :n_valid], v[:, :n_valid], H
+        )
+        np.testing.assert_allclose(
+            np.asarray(got)[:, :n_valid], np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_parity_bf16(self):
+        import numpy as np
+        from genpose2_tpu.ops.vit_attention import (
+            vit_attention_reference,
+            vit_attention_tm,
+        )
+
+        rng = np.random.default_rng(3)
+        B, N, H, hd = 2, 48, 2, 32
+        D = H * hd
+        mk = lambda: jnp.asarray(
+            rng.normal(size=(B, N, D)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        q, k, v = mk(), mk(), mk()
+        got = vit_attention_tm(q, k, v, H)
+        want = vit_attention_reference(q, k, v, H)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+        )
