@@ -16,6 +16,7 @@ an external asset), and consumes 3 intermediate layers [2, 6, 11]
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -275,6 +276,19 @@ class DinoV3Attention(nn.Module):
         return nn.Dense(D, name="proj", dtype=self.dtype)(att.astype(dt))
 
 
+class _LNParams(nn.Module):
+    """Declares nn.LayerNorm-compatible params ('scale'/'bias', ones/zeros
+    init) WITHOUT running the op, for the fused add+LN kernel path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class _DenseParams(nn.Module):
     """Declares Dense-shaped params (kernel, bias) WITHOUT running the matmul,
     so sibling layers reading the same input can be fused into one wide
@@ -305,7 +319,9 @@ class DinoV3Block(nn.Module):
     def __call__(self, x, sin, cos, n_valid: Optional[int] = None):
         # The residual stream runs in the compute dtype (bf16 in the frozen
         # eval config): halves every elementwise HBM round trip. LayerNorm
-        # statistics still accumulate in f32 (the cast fuses into the reduce).
+        # statistics stay f32 either way; on the bf16 stream the mid-block
+        # residual-add + LN2 run as ONE Pallas kernel (a standalone LN kernel
+        # measured net-worse — it broke the surrounding XLA fusions).
         dt = self.dtype or jnp.float32
         h = nn.LayerNorm(name="norm1", dtype=jnp.float32)(x)
         h = DinoV3Attention(self.dim, self.num_heads, name="attn", dtype=self.dtype)(
@@ -314,8 +330,16 @@ class DinoV3Block(nn.Module):
         gamma1 = self.param(
             "ls1", nn.initializers.constant(self.layer_scale_init), (self.dim,)
         )
-        x = x + (h * gamma1).astype(dt)
-        h = nn.LayerNorm(name="norm2", dtype=jnp.float32)(x)
+        if self.dtype is not None:
+            from genpose2_tpu.ops.layernorm import fast_add_layernorm
+
+            s2, b2 = _LNParams(self.dim, name="norm2")()
+            x, h = fast_add_layernorm(
+                x.astype(dt), h.astype(dt), gamma1, s2, b2, out_dtype=dt
+            )
+        else:
+            x = x + (h * gamma1).astype(dt)
+            h = nn.LayerNorm(name="norm2", dtype=jnp.float32)(x)
         if self.ffn_layer == "swiglu":
             # w1 and w2 read the same activations: run them as ONE matmul over
             # the concatenated kernels (the param tree keeps separate w1/w2

@@ -1,0 +1,89 @@
+"""One-pass LayerNorm kernel for the frozen ViT's bf16 residual stream.
+
+XLA lowers each nn.LayerNorm on the (B, N, D) bf16 stream as a
+convert+reduce fusion for the statistics plus an apply pass — measured
+~75 us per LN (1.8 ms/forward over 24 LNs) at the flagship shape
+(B=64, N=272, D=384). This kernel reads the bf16 block once into VMEM,
+computes f32 statistics, applies scale/bias, and writes the compute-dtype
+output — one HBM round trip per tensor.
+
+Numerics: statistics and normalization in f32 (same as
+nn.LayerNorm(dtype=jnp.float32)); only the final cast differs in where it
+happens (here at the kernel write, in XLA at the next matmul's operand).
+Parity: tests/test_ops.py::TestFastLayerNorm.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_kernel(x_ref, s_ref, b_ref, out_ref, *, eps):
+    x = x_ref[0].astype(jnp.float32)  # (N, D)
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    out_ref[0] = (y * s_ref[:] + b_ref[:]).astype(out_ref.dtype)
+
+
+def _add_ln_kernel(x_ref, h_ref, g_ref, s_ref, b_ref, x2_ref, ln_ref, *, eps):
+    x2 = x_ref[0].astype(jnp.float32) + h_ref[0].astype(jnp.float32) * g_ref[:]
+    x2_ref[0] = x2.astype(x2_ref.dtype)
+    mu = jnp.mean(x2, axis=1, keepdims=True)
+    var = jnp.mean((x2 - mu) ** 2, axis=1, keepdims=True)
+    y = (x2 - mu) * jax.lax.rsqrt(var + eps)
+    ln_ref[0] = (y * s_ref[:] + b_ref[:]).astype(ln_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "out_dtype"))
+def fast_add_layernorm(x, h, gamma, scale, bias, eps: float = 1e-6, out_dtype=None):
+    """Fused residual-add + LayerNorm: returns (x + gamma*h, LN(x + gamma*h)).
+
+    The transformer-block hot pattern: a standalone LN kernel leaves the
+    adjacent layerscale+residual as separate XLA fusions (measured net-WORSE
+    than XLA's own stats+apply split); absorbing the add makes the kernel a
+    strict traffic win (3 reads + 2 writes vs 5+ passes)."""
+    B, N, D = x.shape
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+    spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_add_ln_kernel, eps=eps),
+        grid=(B,),
+        in_specs=[spec, spec, vspec, vspec, vspec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, D), out_dtype),
+            jax.ShapeDtypeStruct((B, N, D), out_dtype),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(
+        x,
+        h,
+        gamma.reshape(1, D).astype(jnp.float32),
+        scale.reshape(1, D).astype(jnp.float32),
+        bias.reshape(1, D).astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "out_dtype"))
+def fast_layernorm(x, scale, bias, eps: float = 1e-6, out_dtype=None):
+    """x (B, N, D) -> LayerNorm over the last axis, f32 statistics,
+    ``out_dtype`` (default: x.dtype) output."""
+    B, N, D = x.shape
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+    spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        grid=(B,),
+        in_specs=[spec, vspec, vspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), out_dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(x, scale.reshape(1, D).astype(jnp.float32), bias.reshape(1, D).astype(jnp.float32))

@@ -499,3 +499,55 @@ class TestViTAttentionTokenMajor:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
         )
+
+
+class TestFastLayerNorm:
+    def test_matches_nn_layernorm(self):
+        import flax.linen as nn
+        import numpy as np
+        from genpose2_tpu.ops.layernorm import fast_layernorm
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(3, 16, 48)).astype(np.float32))
+        scale = jnp.asarray(rng.normal(size=(48,)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(48,)).astype(np.float32))
+        got = fast_layernorm(x, scale, bias)
+        ref = nn.LayerNorm(dtype=jnp.float32)
+        want = ref.apply({"params": {"scale": scale, "bias": bias}}, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    def test_bf16_stream(self):
+        import numpy as np
+        from genpose2_tpu.ops.layernorm import fast_layernorm
+
+        rng = np.random.default_rng(5)
+        xf = rng.normal(size=(2, 16, 64)).astype(np.float32)
+        x = jnp.asarray(xf).astype(jnp.bfloat16)
+        got = fast_layernorm(x, jnp.ones(64), jnp.zeros(64))
+        assert got.dtype == jnp.bfloat16
+        mu = xf.mean(-1, keepdims=True)
+        want = (xf - mu) / np.sqrt(((xf - mu) ** 2).mean(-1, keepdims=True) + 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(got.astype(jnp.float32)), want, atol=5e-2
+        )
+
+
+class TestFastAddLayerNorm:
+    def test_matches_composed_ops(self):
+        import flax.linen as nn
+        import numpy as np
+        from genpose2_tpu.ops.layernorm import fast_add_layernorm
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(2, 16, 48)).astype(np.float32))
+        h = jnp.asarray(rng.normal(size=(2, 16, 48)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(48,)).astype(np.float32))
+        scale = jnp.asarray(rng.normal(size=(48,)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(48,)).astype(np.float32))
+        x2, ln = fast_add_layernorm(x, h, g, scale, bias)
+        want_x2 = x + h * g
+        want_ln = nn.LayerNorm(dtype=jnp.float32).apply(
+            {"params": {"scale": scale, "bias": bias}}, want_x2
+        )
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(want_x2), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ln), np.asarray(want_ln), rtol=1e-5, atol=1e-5)
