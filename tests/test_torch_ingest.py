@@ -572,3 +572,93 @@ def test_one_command_reference_pth_eval(ref, tmp_path, monkeypatch):
         blob = json.load(f)
     assert np.isfinite(blob["deg_mean"])
     assert "pose_auc" in blob
+
+
+def test_flagship_pth_ingest_loads_dino_backbone(ref, tmp_path):
+    """A FULL flagship reference .pth — Fus encoder + ImgEncoder + score head
+    + the embedded 'dino.*' hub backbone — loads through load_params_only
+    with the agent's provider: the backbone subtree must land in the
+    provider variables (round 3: previously it was dropped with a warning)
+    and the ingested agent must run pixels-to-features end to end."""
+    import dataclasses
+
+    import torch
+    from test_vit_weights import build_torch_dinov3
+
+    from genpose2_tpu.config import tiny_flagship_config
+    from genpose2_tpu.models.provider import split_provider_variables
+    from genpose2_tpu.training.agent import PoseAgent
+    from genpose2_tpu.training.checkpoint import load_params_only
+
+    cfg = tiny_flagship_config()
+    m = cfg.model
+    pn2 = m.pointnet2
+
+    # --- synthesize the reference-format state dict -----------------------
+    sd = {}
+    channel_in = m.dino_dim
+    out_channels = [sum(mm[-1] for mm in stage) for stage in pn2.mlps]
+    for k, npoint in enumerate(pn2.npoints):
+        mlps = [[channel_in] + list(w) for w in pn2.mlps[k]]
+        tsa = ref["sa"].PointnetSAModuleMSG(
+            npoint=npoint, radii=list(pn2.radii[k]), nsamples=list(pn2.nsamples[k]),
+            mlps=mlps, use_xyz=True, bn=True,
+        )
+        sd.update({f"pts_encoder.SA_modules.{k}.{n}": v for n, v in sd_np(randomize(tsa, seed=30 + k)).items()})
+        tpe = ref["attention"].EfficientRelativePositionalEncoding(
+            out_channels[k], num_heads=pn2.num_heads
+        )
+        sd.update({f"pts_encoder.relative_pos_encoders.{k}.{n}": v for n, v in sd_np(randomize(tpe, seed=40 + k)).items()})
+        ttb = ref["attention"].TransformerBlockWithRelativePE(
+            out_channels[k], num_heads=pn2.num_heads
+        )
+        sd.update({f"pts_encoder.transformer_blocks.{k}.{n}": v for n, v in sd_np(randomize(ttb, seed=50 + k)).items()})
+        if k > 0:
+            tgf = ref["attention"].GatedAttentionFusion(out_channels[k - 1], m.dino_dim)
+            sd.update({f"pts_encoder.feature_fusions.{k-1}.{n}": v for n, v in sd_np(randomize(tgf, seed=60 + k)).items()})
+        channel_in = out_channels[k]
+
+    grid = m.img_size // m.patch_size
+    timg = ref["img_encoder"].ImgEncoder(m.dino_dim, grid * grid, m.patch_size)
+    sd.update({f"img_encoder.{n}": v for n, v in sd_np(randomize(timg, seed=70)).items()})
+    tscore = ref["scorenet"].PoseScoreNet(
+        torch_marginal(), 0, pose_mode="rot_matrix", regression_head="Rx_Ry_and_T"
+    )
+    sd.update({f"pose_score_net.{n}": v for n, v in sd_np(randomize(tscore, seed=71)).items()})
+    torch.manual_seed(7)
+    tdino = build_torch_dinov3(
+        dim=m.dino_dim, depth=m.backbone_depth, heads=6, patch=m.patch_size,
+        storage=4, hidden=m.dino_dim * 4,
+    )
+    sd.update({f"dino.{n}": v for n, v in tdino.state_dict().items()})
+    path = str(tmp_path / "ref_flagship.pth")
+    torch.save({"model_state_dict": sd, "epoch": 1}, path)
+
+    # --- ingest through the production entry ------------------------------
+    agent = PoseAgent(cfg, "score", 10)
+    rng = np.random.default_rng(0)
+    B, N, S = 2, cfg.model.num_points, m.img_size
+    batch = {
+        "pts": jnp.asarray(rng.normal(0, 0.05, (B, N, 3)).astype(np.float32)),
+        "zero_mean_gt_pose": jnp.zeros((B, 9)),
+        "pts_center": jnp.zeros((B, 3)),
+        "roi_rgb": jnp.asarray(rng.normal(size=(B, S, S, 3)).astype(np.float32)),
+        "roi_xs": jnp.zeros((B, N), jnp.int32),
+        "roi_ys": jnp.zeros((B, N), jnp.int32),
+    }
+    state = agent.init_state(jax.random.PRNGKey(0), batch)
+    loaded = load_params_only(path, state, cfg=cfg, provider=agent.provider)
+
+    # the dino subtree landed in the provider variables, bit-exact
+    _, pv = split_provider_variables(loaded.constants)
+    qkv_t = np.asarray(tdino.state_dict()["blocks.0.attn.qkv.weight"]).T
+    np.testing.assert_array_equal(
+        np.asarray(pv["params"]["block_0"]["attn"]["qkv"]["kernel"]), qkv_t
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pv["params"]["cls_token"]),
+        np.asarray(tdino.state_dict()["cls_token"]),
+    )
+    # and the whole pixels-to-features path runs on the ingested weights
+    pf, _ = agent.extract_features(loaded, batch)
+    assert pf.shape[0] == B and np.isfinite(np.asarray(pf)).all()
