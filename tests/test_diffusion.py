@@ -290,3 +290,71 @@ class TestDSMLoss:
             for i in range(8)
         ]
         assert np.std(vals_r16) < np.std(vals_r1)
+
+
+class TestEDMHeunDiscretizationParity:
+    def test_matches_reference_heun_loop(self):
+        """Step-exact parity of edm_sampler's Karras-Heun discretization with
+        a numpy transcription of the reference's update equations
+        (reference: samplers.py:261-340 cond_edm_sampler: rho-spaced t grid
+        with appended 0, Euler step, 2nd-order correction skipped on the
+        final step, S_churn=0). Same latents, same (deterministic) denoiser."""
+        B, D = 8, 9
+        num_steps, sigma_min, sigma_max, rho = 12, 0.002, 2.0, 7.0
+        key = jax.random.PRNGKey(11)
+
+        mu = np.linspace(-0.5, 0.5, D).astype(np.float32)
+
+        def denoiser_np(x, sigma):
+            # arbitrary smooth sigma-dependent map (not a real model)
+            return np.tanh(x) / (1.0 + sigma) + mu * (sigma / (1.0 + sigma))
+
+        def denoiser_jnp(x, sigma):
+            return jnp.tanh(x) / (1.0 + sigma) + jnp.asarray(mu) * (
+                sigma / (1.0 + sigma)
+            )
+
+        got = edm_sampler(
+            key, denoiser_jnp, B, D, num_steps=num_steps,
+            sigma_min=sigma_min, sigma_max=sigma_max, rho=rho,
+            pose_mode="rot_matrix",
+        )
+
+        # mirror the sampler's internal latent draw, then run the reference
+        # update equations in numpy
+        kl, _ = jax.random.split(key)
+        latents = np.asarray(jax.random.normal(kl, (B, D)))
+        i = np.arange(num_steps)
+        t = (
+            sigma_max ** (1 / rho)
+            + i / (num_steps - 1) * (sigma_min ** (1 / rho) - sigma_max ** (1 / rho))
+        ) ** rho
+        # f32 like the on-device sampler (the reference upcasts to f64;
+        # the discretization is identical — only accumulation precision
+        # differs, covered by the tolerance)
+        t = np.concatenate([t, [0.0]]).astype(np.float32)
+        x = latents.astype(np.float32) * t[0]
+        for n in range(num_steps):
+            tc, tn = np.float32(t[n]), np.float32(t[n + 1])
+            d = (x - denoiser_np(x, tc)) / tc
+            xn = x + (tn - tc) * d
+            if n < num_steps - 1:
+                dp = (xn - denoiser_np(xn, tn)) / tn
+                xn = x + (tn - tc) * (0.5 * d + 0.5 * dp)
+            x = xn.astype(np.float32)
+
+        from genpose2_tpu.so3.rotations import normalize_rotation
+
+        want_rot = np.asarray(
+            normalize_rotation(jnp.asarray(x[:, :-3], jnp.float32), "rot_matrix")
+        )
+        # f32 device math vs the numpy mirror: late steps divide by
+        # sigma ~ 2e-3, amplifying f32 rounding to ~1e-4 absolute; a wrong
+        # discretization (grid, step order, missing correction) errs at
+        # O(0.1)
+        np.testing.assert_allclose(
+            np.asarray(got)[:, :-3], want_rot, rtol=0, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got)[:, -3:], x[:, -3:], rtol=0, atol=2e-3
+        )
