@@ -165,6 +165,12 @@ def make_loader_fn(cfg: Config, mode: str, agent_type: str = "score"):
     from genpose2_tpu.data.loader import DataLoader
 
     n_proc = jax.process_count()
+    if cfg.train.batch_size % n_proc != 0:
+        raise ValueError(
+            f"batch_size={cfg.train.batch_size} is the GLOBAL batch size and "
+            f"must be divisible by process_count={n_proc}; a remainder would "
+            "silently shrink the effective global batch"
+        )
     if cfg.data.source == "synthetic":
         import jax.numpy as jnp
 
@@ -278,8 +284,12 @@ def cmd_train(args):
     # periodic in-training sampling eval on a held-out batch, every
     # cfg.train.eval_freq epochs (reference: runners/trainer.py:87-103,
     # posenet_agent.py:400-488 eval_score_func)
+    # multi-host: the hook would mix a globally-sharded trainer.state with
+    # host-local eval batches (incompatible devices) — jitted
+    # sample_candidates rejects that. Gate it to single-process runs until
+    # the eval batch is assembled globally.
     eval_fn = None
-    if args.agent_type != "scale":
+    if args.agent_type != "scale" and jax.process_count() == 1:
         from genpose2_tpu.training.eval_hooks import make_sampling_eval_fn
 
         eval_loader_fn = make_loader_fn(cfg, "test", args.agent_type)

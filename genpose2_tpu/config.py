@@ -213,6 +213,17 @@ class DataConfig:
     aug_bb_pro: float = 0.3
     aug_bc_pro: float = 0.3
 
+    def pts_aug_params(self) -> dict:
+        """cfg.PTS_AUG_PARAMS dict, as data_augment consumes it
+        (reference: configs/config.py:119-126)."""
+        return {
+            "aug_pc_pro": self.aug_pc_pro,
+            "aug_pc_r": self.aug_pc_r,
+            "aug_rt_pro": self.aug_rt_pro,
+            "aug_bb_pro": self.aug_bb_pro,
+            "aug_bc_pro": self.aug_bc_pro,
+        }
+
 
 @dataclass(frozen=True)
 class ParallelConfig:

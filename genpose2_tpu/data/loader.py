@@ -33,15 +33,54 @@ def collate(samples: Sequence[dict]) -> dict:
     return out
 
 
-def process_batch(batch: dict, pose_mode: str = "rot_matrix") -> dict:
+def process_batch(
+    batch: dict,
+    pose_mode: str = "rot_matrix",
+    aug_params: Optional[dict] = None,
+    aug_key=None,
+) -> dict:
     """Numpy batch -> jnp training batch with zero-centering.
 
     Keys out: pts, zero_mean_gt_pose, pts_center, gt_pose, plus pass-throughs
     (roi_rgb/roi_xs/roi_ys/sym_info/...). reference: datasets_omni6dpose.py:674-754.
+
+    ``aug_params``: NOCS-style cloud augmentation probabilities
+    (cfg PTS_AUG_PARAMS). Exactly as the reference gates it
+    (datasets_omni6dpose.py:687-702): applied only when BOTH aug_params is
+    set AND the batch is NOCS-style (carries 'old_sym_info'); the augmented
+    cloud/rotation/translation feed the standard tail and the deformed sizes
+    are discarded, matching the reference's processed_sample contents.
     """
     pts = jnp.asarray(batch["pcl_in"])
     R = jnp.asarray(batch["rotation"])
     t = jnp.asarray(batch["translation"])
+    if aug_params is not None and "old_sym_info" in batch:
+        from genpose2_tpu.data.augmentation import data_augment
+
+        if aug_key is None:
+            raise ValueError("aug_params set but no aug_key — pass a PRNGKey")
+        # full sizes = fsnet residual + per-class mean shape
+        # (ref data_augmentation.py:263-266 re-derives them the same way)
+        gt_s = jnp.asarray(batch["fsnet_scale"]) + jnp.asarray(batch["mean_shape"])
+        xyz, R, t, _ = data_augment(
+            aug_key,
+            aug_params,
+            pts[..., :3],
+            R,
+            t,
+            gt_s,
+            sym=jnp.asarray(batch["old_sym_info"]),
+            model_point=jnp.asarray(batch["model_point"])
+            if "model_point" in batch
+            else None,
+            nocs_scale=jnp.asarray(batch["nocs_scale"])
+            if "nocs_scale" in batch
+            else None,
+            mug_bowl_mask=jnp.asarray(batch["mug_bowl_mask"])
+            if "mug_bowl_mask" in batch
+            else None,
+        )
+        pts = pts.at[..., :3].set(xyz) if pts.shape[-1] > 3 else xyz
     rot_repr = get_pose_representation(R, pose_mode)
     gt_pose = jnp.concatenate([rot_repr, t], axis=-1)
     center = jnp.mean(pts[..., :3], axis=1)

@@ -391,7 +391,10 @@ class PoseAgent:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def train_step(self, state: TrainState, batch, key):
-        """One optimization step. batch: dict with 'pts' (zero-centered),
+        """One optimization step. batch: dict with 'pts' (the RAW camera-frame
+        cloud — the encoder consumes it uncentered, matching the reference;
+        zero-centering lives only in 'zero_mean_pts'/'pts_center', see
+        data/loader.py:51-53 vs ref posenet.py:135),
         'zero_mean_gt_pose', optional dino inputs; energy agents additionally
         'candidate_poses' (B, K, D) + 'candidate_metrics' (B, K, 2) when
         ranking. Returns (new_state, metrics dict)."""
@@ -566,6 +569,15 @@ class PoseAgent:
             # Karras-Heun sampler on the EDM denoiser
             # (reference: samplers.py:261-340 cond_edm_sampler)
             assert self.use_decoder, "--sampler_mode edm requires --sde_mode edm"
+            # edm always starts from fresh latents at sigma_max; a tracking
+            # warm start (init_x / T0 < 1) would be silently dropped — fail
+            # loudly instead of misleading the caller
+            if init_x is not None or T0 != 1.0:
+                raise ValueError(
+                    "method='edm' does not support warm starts: init_x must "
+                    "be None and T0 must be 1.0 (use method='rk45' for "
+                    "tracking-style warm-started sampling)"
+                )
             from genpose2_tpu.diffusion import edm_sampler
 
             dfn = self.denoiser_fn(state, feat_rep, rgb_rep, use_ema)

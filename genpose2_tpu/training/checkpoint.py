@@ -106,19 +106,24 @@ def load_torch_params_only(
     # target.constants (the frozen backbone) must survive the replace
     _, target_provider_vars = split_provider_variables(target.constants)
     constants = jax.tree.map(jnp.asarray, vs.get("constants", {})) or {}
+    loaded_dino = False
     if target_provider_vars is not None:
         provider_vars = target_provider_vars
         if dino_sd and provider is not None:
             provider_vars = provider.load_torch_state_dict(provider_vars, dino_sd)
-        elif dino_sd:
-            import warnings
-
-            warnings.warn(
-                f"{path} embeds {len(dino_sd)} DINO backbone tensors but no "
-                "provider was passed — backbone weights NOT loaded.",
-                stacklevel=2,
-            )
+            loaded_dino = True
         constants = attach_provider_variables(constants, provider_vars)
+    if dino_sd and not loaded_dino:
+        # fires for BOTH "no provider passed" and "target has no provider
+        # slot" (dino='none' / precomputed-feature configs) — embedded
+        # backbone tensors must never be discarded silently
+        import warnings
+
+        warnings.warn(
+            f"{path} embeds {len(dino_sd)} DINO backbone tensors but the "
+            "target has no backbone provider — backbone weights NOT loaded.",
+            stacklevel=2,
+        )
     params = jax.tree.map(jnp.asarray, vs["params"])
     return target.replace(
         params=params,

@@ -144,11 +144,20 @@ class Trainer:
 
     # ----------------------------------------------------------- one epoch
     def _prepare(self, raw, key):
-        """Host-side batch prep: process_batch + per-type extras."""
+        """Host-side batch prep: process_batch + per-type extras. Training
+        batches get the NOCS-style cloud augmentation when the raw batch is
+        NOCS-style ('old_sym_info' present), gated by cfg.data's aug
+        probabilities exactly as the reference gates PTS_AUG_PARAMS
+        (reference: datasets_omni6dpose.py:687-702)."""
         batch = (
             raw
             if "zero_mean_gt_pose" in raw or isinstance(self.agent, ScaleAgent)
-            else process_batch(raw, self.cfg.model.pose_mode)
+            else process_batch(
+                raw,
+                self.cfg.model.pose_mode,
+                aug_params=self.cfg.data.pts_aug_params(),
+                aug_key=jax.random.fold_in(key, 0x6A75),
+            )
         )
         if isinstance(self.agent, ScaleAgent):
             sa, ss = self.frozen_score

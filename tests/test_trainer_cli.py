@@ -58,6 +58,71 @@ class TestAugmentation:
         rel = np.asarray(jnp.linalg.norm(pc2 - pc, axis=-1) / jnp.linalg.norm(pc - t[:, None], axis=-1))
         assert rel.max() <= 0.1 * np.sqrt(3) + 1e-5
 
+    def test_process_batch_wires_aug_for_nocs_batches(self):
+        """Production-path gating (reference: datasets_omni6dpose.py:687-702):
+        process_batch applies data_augment iff aug_params is set AND the raw
+        batch is NOCS-style ('old_sym_info' present); the augmented
+        cloud/pose feed the standard zero-centering tail."""
+        from genpose2_tpu.data.loader import process_batch
+
+        pc, R, t, s, sym4 = self._scene()
+        raw = {
+            "pcl_in": np.asarray(pc),
+            "rotation": np.asarray(R),
+            "translation": np.asarray(t),
+            "old_sym_info": np.asarray(sym4),
+            "fsnet_scale": np.asarray(s) * 0.5,
+            "mean_shape": np.asarray(s) * 0.5,
+        }
+        params = dict(CFG.data.pts_aug_params(), aug_rt_pro=1.0, aug_bb_pro=1.0,
+                      aug_pc_pro=1.0, aug_bc_pro=0.0)
+        plain = process_batch(dict(raw), CFG.model.pose_mode)
+        auged = process_batch(
+            dict(raw), CFG.model.pose_mode, aug_params=params,
+            aug_key=jax.random.PRNGKey(3),
+        )
+        # flags change the training batch...
+        assert not np.allclose(np.asarray(plain["pts"]), np.asarray(auged["pts"]))
+        assert not np.allclose(
+            np.asarray(plain["gt_pose"]), np.asarray(auged["gt_pose"])
+        )
+        # ...consistently: zero-centering tail still holds on the augmented batch
+        np.testing.assert_allclose(
+            np.asarray(jnp.mean(auged["zero_mean_pts"][..., :3], axis=1)),
+            0.0, atol=1e-5,
+        )
+        # non-NOCS batches are untouched even with aug_params set
+        raw2 = {k: raw[k] for k in ("pcl_in", "rotation", "translation")}
+        same = process_batch(
+            dict(raw2), CFG.model.pose_mode, aug_params=params,
+            aug_key=jax.random.PRNGKey(3),
+        )
+        np.testing.assert_allclose(
+            np.asarray(same["pts"]), np.asarray(plain["pts"]), atol=0
+        )
+
+    def test_trainer_prepare_applies_nocs_aug(self):
+        """Trainer._prepare (the production train path) routes cfg.data's aug
+        probabilities into process_batch for NOCS-style raw batches."""
+        pc, R, t, s, sym4 = self._scene()
+        raw = {
+            "pcl_in": np.asarray(pc),
+            "rotation": np.asarray(R),
+            "translation": np.asarray(t),
+            "old_sym_info": np.asarray(sym4),
+            "fsnet_scale": np.asarray(s) * 0.5,
+            "mean_shape": np.asarray(s) * 0.5,
+        }
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            CFG,
+            data=dataclasses.replace(CFG.data, aug_rt_pro=1.0, aug_pc_pro=1.0),
+        )
+        tr = Trainer(cfg, "score", steps_per_epoch=1)
+        out = tr._prepare(dict(raw), jax.random.PRNGKey(5))
+        assert not np.allclose(np.asarray(out["pts"]), np.asarray(pc))
+
     def test_full_stack_runs(self):
         pc, R, t, s, sym = self._scene()
         params = {"aug_pc_pro": 1.0, "aug_pc_r": 0.05, "aug_rt_pro": 1.0,
