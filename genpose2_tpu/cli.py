@@ -82,6 +82,10 @@ def build_config(args) -> Config:
         seed=args.seed,
         dzi_type="none" if args.eval_mode else "uniform",
         roi_mask_pro=0.0 if args.eval_mode else 0.5,
+        bop_cameras=tuple(
+            c for c in getattr(args, "bop_cameras", "").split(",") if c
+        ),
+        trans_stats_dir=getattr(args, "trans_stats_dir", ""),
     )
     sampler = SamplerConfig(
         mode=args.sampler_mode, sampling_steps=args.sampling_steps
@@ -108,6 +112,11 @@ def add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--img_size", type=int, default=256)
     p.add_argument("--per_obj", type=str, default="")
     p.add_argument("--percentage_data", type=float, default=1.0)
+    # BOP multi-camera val/test enumeration, comma-separated
+    # (reference: xyzibd cam_ids 'xyz,realsense,photoneo')
+    p.add_argument("--bop_cameras", type=str, default="")
+    # dir with {xyzibd}_trans_{mean,std}.npy (reference: configs/)
+    p.add_argument("--trans_stats_dir", type=str, default="")
     # 'edm' = Karras-Heun over the EDM denoiser; requires --sde_mode edm
     # (reference: configs/config.py:28-31, samplers.py:261-340)
     p.add_argument("--sampler_mode", type=str, default="fixed",
@@ -206,9 +215,19 @@ def make_loader_fn(cfg: Config, mode: str, agent_type: str = "score"):
 
         return loader_fn
     if cfg.data.source == "xyzibd":
-        from genpose2_tpu.data.xyzibd import XyzibdDataset
+        from genpose2_tpu.data.xyzibd import XyzibdDataset, load_translation_stats
 
-        ds = XyzibdDataset(cfg.data, cfg.data.data_path, mode=mode)
+        tm = ts = None
+        if cfg.data.trans_stats_dir:
+            tm, ts = load_translation_stats(cfg.data.trans_stats_dir)
+        # multi-camera enumeration applies to val/test splits only
+        # (reference: get_val_dataset/get_test_dataset pass cam_ids,
+        # get_train_dataset does not — xyzibd_dataset.py:805-848)
+        cams = list(cfg.data.bop_cameras) if mode != "train" else None
+        ds = XyzibdDataset(
+            cfg.data, cfg.data.data_path, mode=mode,
+            cameras=cams or None, trans_mean=tm, trans_std=ts,
+        )
     else:
         from genpose2_tpu.data.omni6dpose import Omni6DPoseDataset
 

@@ -206,6 +206,14 @@ class DataConfig:
     # 2D mask deformation (reference: cfg.DEFORM_2D_PARAMS)
     roi_mask_r: int = 3
     roi_mask_pro: float = 0.5
+    # BOP/XYZ-IBD multi-camera val/test enumeration (reference:
+    # xyzibd_dataset.py:583-608, cam_ids ['xyz','realsense','photoneo']);
+    # empty -> unsuffixed single-camera layout
+    bop_cameras: tuple = ()
+    # directory holding {name}_trans_{mean,std}.npy translation stats
+    # (reference: configs/xyzibd_trans_*.npy, xyzibd_dataset.py:796-804);
+    # empty -> identity normalization
+    trans_stats_dir: str = ""
     # NOCS-style cloud aug (reference: cfg.PTS_AUG_PARAMS)
     aug_pc_pro: float = 0.2
     aug_pc_r: float = 0.2

@@ -110,6 +110,123 @@ class TestXyzibd:
                 cfg, os.path.join(bop_root, "test"), mode="test", min_visib_fract=0.95
             )
 
+    def test_translation_stats_roundtrip(self, bop_root, tmp_path):
+        """compute-from-split + save/load + per-sample normalization
+        (reference: xyzibd_dataset.py:16-32, 152, 796-804)."""
+        from genpose2_tpu.data.xyzibd import (
+            compute_translation_stats,
+            load_translation_stats,
+            save_translation_stats,
+        )
+
+        cfg = DataConfig(num_points=128, img_size=64)
+        ds = XyzibdDataset(cfg, os.path.join(bop_root, "test"), mode="test")
+        mean, std = compute_translation_stats(ds)
+        # fixture: both frames share t=(0.01,-0.02,0.7) -> mean exact, std
+        # floors at 1.0 (the reference's 1e-8 guard)
+        np.testing.assert_allclose(mean, [0.01, -0.02, 0.7], atol=1e-6)
+        np.testing.assert_allclose(std, 1.0, atol=1e-6)
+        save_translation_stats(str(tmp_path), mean, std)
+        m2, s2 = load_translation_stats(str(tmp_path))
+        np.testing.assert_allclose(m2, mean)
+        np.testing.assert_allclose(s2, std)
+
+        ds2 = XyzibdDataset(
+            cfg, os.path.join(bop_root, "test"), mode="test",
+            trans_mean=m2, trans_std=s2,
+        )
+        s = ds2[0]
+        np.testing.assert_allclose(
+            s["normalized_translation"], (s["translation"] - m2) / s2, atol=1e-6
+        )
+        np.testing.assert_allclose(s["trans_mean"], m2)
+        np.testing.assert_allclose(s["trans_std"], s2)
+
+
+@pytest.fixture(scope="module")
+def bop_multicam_root(tmp_path_factory):
+    """BOP scene with the reference's per-camera suffixed val layout
+    (xyzibd_dataset.py:583-608): realsense publishes rgb_<cam>, the
+    structured-light cameras publish gray_<cam>."""
+    root = tmp_path_factory.mktemp("bop_mc")
+    K = np.array([[280.0, 0, 160], [0, 280.0, 120], [0, 0, 1]])
+    size_mm = np.array([120.0, 200.0, 80.0])
+    models = {"5": {"size_x": 120.0, "size_y": 200.0, "size_z": 80.0}}
+    os.makedirs(root / "models")
+    with open(root / "models" / "models_info.json", "w") as f:
+        json.dump(models, f)
+    scene = root / "val" / "000001"
+    cam_layout = {"xyz": "gray", "realsense": "rgb"}
+    for cam, (img_dir) in cam_layout.items():
+        for sub in (f"{img_dir}_{cam}", f"depth_{cam}", f"mask_visib_{cam}"):
+            os.makedirs(scene / sub)
+        scene_gt, scene_info, scene_cam = {}, {}, {}
+        # different translations per camera so we can tell samples apart
+        t = np.array([0.01, -0.02, 0.7 if cam == "xyz" else 0.9])
+        R = ScipyRot.random(random_state=7).as_matrix()
+        depth, mask = render_box_scene(K, R, t, size_mm / 1000.0)
+        cv2.imwrite(
+            str(scene / f"{img_dir}_{cam}" / "000000.png"),
+            np.full((240, 320, 3), 90, np.uint8),
+        )
+        cv2.imwrite(
+            str(scene / f"depth_{cam}" / "000000.png"),
+            (depth * 1000).astype(np.uint16),
+        )
+        cv2.imwrite(
+            str(scene / f"mask_visib_{cam}" / "000000_000000.png"),
+            ((mask > 0) * 255).astype(np.uint8),
+        )
+        scene_gt["0"] = [{
+            "obj_id": 5,
+            "cam_R_m2c": R.reshape(-1).tolist(),
+            "cam_t_m2c": (t * 1000).tolist(),
+        }]
+        scene_info["0"] = [
+            {"visib_fract": 0.9, "px_count_valid": int((mask > 0).sum())}
+        ]
+        scene_cam["0"] = {"cam_K": K.reshape(-1).tolist(), "depth_scale": 1.0}
+        for name, blob in (
+            (f"scene_gt_{cam}.json", scene_gt),
+            (f"scene_gt_info_{cam}.json", scene_info),
+            (f"scene_camera_{cam}.json", scene_cam),
+        ):
+            with open(scene / name, "w") as f:
+                json.dump(blob, f)
+    return str(root)
+
+
+class TestXyzibdMultiCamera:
+    def test_enumerates_all_cameras(self, bop_multicam_root):
+        cfg = DataConfig(num_points=128, img_size=64)
+        ds = XyzibdDataset(
+            cfg, os.path.join(bop_multicam_root, "val"), mode="val",
+            cameras=["xyz", "realsense"],
+        )
+        assert len(ds) == 2  # one frame per camera
+        zs = sorted(float(ds[i]["translation"][2]) for i in range(2))
+        # each camera's own gt/depth was read (0.7 m vs 0.9 m)
+        assert abs(zs[0] - 0.7) < 0.05 and abs(zs[1] - 0.9) < 0.05
+        # geometry consistent per camera: cloud depth near its gt z
+        for i in range(2):
+            s = ds[i]
+            assert abs(s["pcl_in"][:, 2].mean() - s["translation"][2]) < 0.1
+
+    def test_missing_camera_warns_and_skips(self, bop_multicam_root):
+        cfg = DataConfig(num_points=128, img_size=64)
+        with pytest.warns(UserWarning, match="photoneo"):
+            ds = XyzibdDataset(
+                cfg, os.path.join(bop_multicam_root, "val"), mode="val",
+                cameras=["xyz", "realsense", "photoneo"],
+            )
+        assert len(ds) == 2
+
+    def test_unsuffixed_layout_unaffected(self, bop_root):
+        cfg = DataConfig(num_points=128, img_size=64)
+        ds = XyzibdDataset(cfg, os.path.join(bop_root, "test"), mode="test")
+        assert len(ds) == 2
+        assert ds[0]["path"].split(os.sep)[-1].startswith("main_")
+
 
 @pytest.fixture(scope="module")
 def video_root(tmp_path_factory):
