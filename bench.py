@@ -1,24 +1,30 @@
 """End-to-end benchmark: pose-candidate throughput of the FLAGSHIP eval
 pipeline, from pixels to poses.
 
-Workload = the reference's default single-frame evaluation configuration
+Workload = the reference's FULL single-frame evaluation pipeline
 (dino='pointwise', reference: scripts/eval_single.sh, networks/posenet.py:74-75,
-configs/config.py:21,75): a batch of 64 objects (the fork's eval batch,
-scripts/eval_single_my.sh), each a 256px RGB crop + 1024-point cloud —
+runners/evaluation_single.py:78-288): a batch of 64 objects (the fork's eval
+batch, scripts/eval_single_my.sh), each a 256px RGB crop + 1024-point cloud —
 frozen DinoV3 ViT-S+/16 -> ImgEncoder layer fusion -> per-point feature
 gather -> transformer-fused PointNet++ -> 50-step probability-flow ODE over
-64 x 50 candidates -> on-device aggregation (sort/retain/cluster/average).
-Encoder, backbone, sampler, and aggregation all run on device in one jit
-program.
+64 x 50 candidates -> EnergyNet ranking over all B x K candidates (its own
+encoder forward + energy head, reference: evaluation_single.py:123-157) ->
+energy-sorted retain-40% aggregation (sort/cluster/average, :160-219) ->
+ScaleNet bbox regression from the score encoder's feature + predicted axes
+(:222-288). Backbone, encoders, sampler, energy, aggregation, and scale all
+run on device in one jit program.
 
-Baseline: the reference implements this loop as scipy RK45 on the host
-calling the GPU score model per step (reference: samplers.py:204-234) on one
-RTX 4090. The repo publishes no throughput number (BASELINE.md); we use an
-optimistic estimate of 6,400 candidates/s for vs_baseline — i.e. one ~0.5 s
-host-looped solve_ivp per 64x50-candidate batch — so the reported ratio is a
-floor, not a cherry-pick.
+Baseline: the reference implements the sampling loop as scipy RK45 on the
+host calling the GPU score model per step (reference: samplers.py:204-234) on
+one RTX 4090. The repo publishes no throughput number (BASELINE.md); we use
+an optimistic estimate of 6,400 candidates/s for vs_baseline — i.e. one
+~0.5 s host-looped solve_ivp per 64x50-candidate batch — so the reported
+ratio is a floor, not a cherry-pick.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}. The
+headline "value" is the energy-ranked full pipeline; the lighter score-only
+pipeline (no energy/scale stage) is reported as
+"score_only_candidates_per_s".
 """
 
 import json
@@ -30,7 +36,7 @@ import jax.numpy as jnp
 from genpose2_tpu.config import ModelConfig, PointNet2Config, default_config
 from genpose2_tpu.data.synthetic import SyntheticPoseData
 from genpose2_tpu.eval import aggregate_candidates
-from genpose2_tpu.training import PoseAgent
+from genpose2_tpu.training import PoseAgent, ScaleAgent
 
 BASELINE_CANDIDATES_PER_S = 6400.0  # optimistic reference estimate (see docstring)
 
@@ -52,6 +58,7 @@ def main():
     S = cfg.model.img_size  # 256
 
     agent = PoseAgent(cfg, "score", steps_per_epoch=1000)
+    energy_agent = PoseAgent(cfg, "energy", steps_per_epoch=1000)
     data = SyntheticPoseData(num_points=N)
     key = jax.random.PRNGKey(0)
     batch = data.batch(key, B)
@@ -61,6 +68,10 @@ def main():
     batch["roi_xs"] = jax.random.randint(ks[1], (B, N), 0, S)
     batch["roi_ys"] = jax.random.randint(ks[2], (B, N), 0, S)
     state = agent.init_state(key, batch)
+    estate = energy_agent.init_state(jax.random.PRNGKey(1), batch)
+    scale_agent = ScaleAgent(cfg)
+    pts_dim = int(agent.extract_features(state, batch)[0].shape[-1])
+    sstate = scale_agent.init_state(jax.random.PRNGKey(2), pts_dim=pts_dim)
 
     # Steady-state serving throughput: the host->device dispatch round trip on
     # this backend is ~30 ms, which would dominate a per-call measurement. A
@@ -72,94 +83,125 @@ def main():
     # read is the reliable fence).
     reps = 10
 
-    def pipeline_once(state, batch, key):
+    def pipeline_once(batch, key, with_energy_scale):
+        # frozen ViT runs ONCE per batch; its features feed the score
+        # encoder, the energy encoder, and (via the score feature) ScaleNet
+        # (mirrors eval/pipeline.py:_run_one)
+        b = agent.with_image_features(state, batch)
+        feats = agent.extract_features(state, b)
         poses = agent.sample_candidates(
-            state, batch, key, repeat_num=K, T0=0.55, method="fixed", num_steps=50
+            state, b, key, repeat_num=K, T0=0.55, method="fixed", num_steps=50,
+            features=feats,
+        )
+        energy = (
+            energy_agent.get_energy(estate, b, poses, fixed_t=1e-5)
+            if with_energy_scale
+            else None
         )
         agg = aggregate_candidates(
             poses,
-            None,
+            energy,
             retain_ratio=cfg.eval.retain_ratio,
             clustering=cfg.eval.clustering,
             eps=cfg.eval.clustering_eps,
             minpts_ratio=cfg.eval.clustering_minpts_ratio,
         )
-        return agg["rotation"], agg["translation"]
+        if with_energy_scale:
+            lengths = scale_agent.predict(sstate, feats[0], agg["rotation"])
+        else:
+            lengths = jnp.zeros((B, 3), jnp.float32)
+        return agg["rotation"], agg["translation"], lengths
 
-    @jax.jit
-    def pipeline_loop(state, batch, key):
-        def body(carry, k):
-            rot_prev, _ = carry
-            keyk = jax.random.fold_in(key, k)
-            # data dependency on the previous iteration's output
-            b = dict(batch)
-            eps = 0.0 * rot_prev[0, 0, 0]
-            b["pts"] = batch["pts"] + eps
-            b["roi_rgb"] = batch["roi_rgb"] + eps
-            rot, trans = pipeline_once(state, b, keyk)
-            return (rot, trans), None
+    def make_loop(with_energy_scale):
+        @jax.jit
+        def pipeline_loop(batch, key):
+            def body(carry, k):
+                rot_prev, _, _ = carry
+                keyk = jax.random.fold_in(key, k)
+                # data dependency on the previous iteration's output
+                b = dict(batch)
+                eps = 0.0 * rot_prev[0, 0, 0]
+                b["pts"] = batch["pts"] + eps
+                b["roi_rgb"] = batch["roi_rgb"] + eps
+                out = pipeline_once(b, keyk, with_energy_scale)
+                return out, None
 
-        rot0 = jnp.zeros((B, 3, 3), jnp.float32)
-        t0 = jnp.zeros((B, 3), jnp.float32)
-        (rot, trans), _ = jax.lax.scan(body, (rot0, t0), jnp.arange(reps))
-        return rot, trans
+            rot0 = jnp.zeros((B, 3, 3), jnp.float32)
+            t0 = jnp.zeros((B, 3), jnp.float32)
+            l0 = jnp.zeros((B, 3), jnp.float32)
+            (rot, trans, lengths), _ = jax.lax.scan(
+                body, (rot0, t0, l0), jnp.arange(reps)
+            )
+            return rot, trans, lengths
 
-    # compile + warm up
-    R, t = pipeline_loop(state, batch, jax.random.PRNGKey(10_000))
-    _ = float(t[0, 0])
+        return pipeline_loop
 
-    best = float("inf")
-    for i in range(3):
-        start = time.perf_counter()
-        R, t = pipeline_loop(state, batch, jax.random.PRNGKey(i))
-        _ = float(t[0, 0])
-        best = min(best, time.perf_counter() - start)
-    dt = best / reps
+    def time_loop(loop):
+        R, t, L = loop(batch, jax.random.PRNGKey(10_000))
+        _ = float(t[0, 0])  # compile + warm up
+        best = float("inf")
+        for i in range(3):
+            start = time.perf_counter()
+            R, t, L = loop(batch, jax.random.PRNGKey(i))
+            _ = float(t[0, 0])
+            best = min(best, time.perf_counter() - start)
+        return best / reps
 
-    cand_per_s = B * K / dt
+    dt_full = time_loop(make_loop(True))
+    dt_score = time_loop(make_loop(False))
+    cand_per_s = B * K / dt_full
+    cand_per_s_score = B * K / dt_score
 
     # ---- tracking throughput (BASELINE.md names tracking frames/s) --------
     # 16 video streams x 4 objects multiplexed into the same 64-object batch
     # (reference: evaluation_tracking.py:227-331 multiplexes <=30 videos);
     # each iteration = one tracking step per stream: warm-started ODE from
-    # T0=0.25 (reference: scripts/eval_tracking.sh), energy-free aggregation,
-    # next-frame prior. Pixels change every frame, so the frozen ViT runs
-    # once per frame — the faithful per-frame cost.
+    # T0=0.25 (reference: scripts/eval_tracking.sh), EnergyNet ranking over
+    # all candidates (reference: evaluation_tracking.py:137-183), energy-
+    # sorted aggregation, ScaleNet (:189-197), next-frame prior. Pixels
+    # change every frame, so the frozen ViT runs once per frame — the
+    # faithful per-frame cost.
     streams = 16
     from genpose2_tpu.so3.rotations import matrix_to_rot6d_cols
 
     @jax.jit
-    def tracking_loop(state, batch, prev0, key):
+    def tracking_loop(batch, prev0, key):
         def body(prev, k):
             eps = 0.0 * prev[0, 0]
             b = dict(batch)
             b["roi_rgb"] = batch["roi_rgb"] + eps
+            b = agent.with_image_features(state, b)
+            feats = agent.extract_features(state, b)
             init_x = prev.at[..., -3:].add(-b["pts_center"])
             poses = agent.sample_candidates(
                 state, b, k, repeat_num=K, T0=0.25, init_x=init_x,
-                method="fixed", num_steps=50,
+                method="fixed", num_steps=50, features=feats,
             )
+            energy = energy_agent.get_energy(estate, b, poses, fixed_t=1e-5)
             agg = aggregate_candidates(
-                poses, None, retain_ratio=cfg.eval.retain_ratio,
+                poses, energy, retain_ratio=cfg.eval.retain_ratio,
                 clustering=cfg.eval.clustering, eps=cfg.eval.clustering_eps,
                 minpts_ratio=cfg.eval.clustering_minpts_ratio,
             )
+            _lengths = scale_agent.predict(sstate, feats[0], agg["rotation"])
             nxt = jnp.concatenate(
                 [matrix_to_rot6d_cols(agg["rotation"]), agg["translation"]],
                 axis=-1,
             )
+            # fold the scale output into the carry so it cannot be elided
+            nxt = nxt + 0.0 * _lengths[0, 0]
             return nxt, None
 
         prev, _ = jax.lax.scan(body, prev0, jax.random.split(key, reps))
         return prev
 
     prev0 = jnp.zeros((B, 9), jnp.float32).at[:, 0].set(1.0).at[:, 4].set(1.0)
-    prev = tracking_loop(state, batch, prev0, jax.random.PRNGKey(77))
+    prev = tracking_loop(batch, prev0, jax.random.PRNGKey(77))
     _ = float(prev[0, 0])
     best_tr = float("inf")
     for i in range(3):
         start = time.perf_counter()
-        prev = tracking_loop(state, batch, prev0, jax.random.PRNGKey(200 + i))
+        prev = tracking_loop(batch, prev0, jax.random.PRNGKey(200 + i))
         _ = float(prev[0, 0])
         best_tr = min(best_tr, time.perf_counter() - start)
     frames_per_s = streams * reps / best_tr
@@ -170,16 +212,22 @@ def main():
                 "metric": "flagship_pose_candidates_per_s_per_chip",
                 "value": round(cand_per_s, 1),
                 "unit": (
-                    "candidates/s (pixels-to-pose: B=64 objects, 256px crops, "
-                    "DinoV3 ViT-S+/16 + fused PointNet++ + 50-step ODE x K=50 "
-                    "+ aggregation)"
+                    "candidates/s (FULL eval pipeline, pixels-to-pose: B=64 "
+                    "objects, 256px crops, DinoV3 ViT-S+/16 + fused "
+                    "PointNet++ + 50-step ODE x K=50 + EnergyNet ranking "
+                    "over BxK + energy-sorted aggregation + ScaleNet)"
                 ),
                 "vs_baseline": round(cand_per_s / BASELINE_CANDIDATES_PER_S, 2),
+                "score_only_candidates_per_s": round(cand_per_s_score, 1),
+                "score_only_unit": (
+                    "candidates/s (score pipeline only: no energy/scale "
+                    "stage — the r01-r03 headline configuration)"
+                ),
                 "tracking_frames_per_s": round(frames_per_s, 1),
                 "tracking_unit": (
                     "video frames/s (16 streams x 4 objects multiplexed, "
                     "warm-start T0=0.25, 50-step ODE x K=50 per object, "
-                    "pixels-to-pose per frame)"
+                    "EnergyNet ranking + ScaleNet per frame, pixels-to-pose)"
                 ),
             }
         )

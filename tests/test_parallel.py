@@ -48,6 +48,44 @@ class TestMesh:
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
+    def test_sharded_energy_ranking_matches_single_device(self, eight_devices):
+        """Energy ranking + retained aggregation is candidate-parallel
+        (SURVEY §2.8; reference: runners/evaluation_single.py:123-219):
+        the data x cand sharded result must equal the single-device one."""
+        from genpose2_tpu.eval import aggregate_candidates
+
+        cfg = tiny_test_config()
+        agent = PoseAgent(cfg, "energy", steps_per_epoch=10)
+        data = SyntheticPoseData(num_points=cfg.model.num_points)
+        key = jax.random.PRNGKey(3)
+        B, K = 8, 4
+        batch = data.batch(key, B)
+        batch = {k: batch[k] for k in ("pts", "zero_mean_gt_pose", "pts_center")}
+        state = agent.init_state(key, batch)
+        poses = jax.random.normal(jax.random.PRNGKey(4), (B, K, 9)) * 0.5
+
+        def rank(st, b, p):
+            e = agent.get_energy(st, b, p, fixed_t=1e-5)
+            agg = aggregate_candidates(
+                p, e, retain_ratio=0.4, clustering=True, eps=0.05,
+                minpts_ratio=1.0 / 6.0,
+            )
+            return e, agg["rotation"], agg["translation"]
+
+        e1, r1, t1 = jax.jit(rank)(state, batch, poses)
+
+        mesh = make_mesh(data=4, cand=2)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state_r = replicate(state, mesh)
+        batch_s = shard_batch(batch, mesh)
+        poses_s = jax.device_put(poses, NamedSharding(mesh, P("data", "cand")))
+        e8, r8, t8 = jax.jit(rank)(state_r, batch_s, poses_s)
+
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e8), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r8), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t8), atol=1e-5)
+
     def test_dryrun_entrypoint(self, eight_devices):
         import sys
 
