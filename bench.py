@@ -11,8 +11,21 @@ gather -> transformer-fused PointNet++ -> 50-step probability-flow ODE over
 encoder forward + energy head, reference: evaluation_single.py:123-157) ->
 energy-sorted retain-40% aggregation (sort/cluster/average, :160-219) ->
 ScaleNet bbox regression from the score encoder's feature + predicted axes
-(:222-288). Backbone, encoders, sampler, energy, aggregation, and scale all
-run on device in one jit program.
+(:222-288).
+
+Measurement note: one jit holding BOTH full encoders (score + energy agents)
+exceeds the remote TPU compiler's request-size limit on this backend
+(HTTP 413), so the pipeline is timed as two steady-state scanned programs
+whose per-iteration times ADD:
+
+  A: score pipeline      (ViT + score encoder + ODE + energy-free aggregation)
+  B: energy+scale stage  (energy encoder + EnergyNet over B x K +
+                          energy-sorted aggregation + ScaleNet)
+
+full = A + B. A's energy-free aggregation is also in the full pipeline's
+critical path via B's energy-sorted aggregation, so the sum double-counts one
+small aggregation — the reported number is slightly CONSERVATIVE. The
+tracking metric is T (warm-start sampling loop) + B the same way.
 
 Baseline: the reference implements the sampling loop as scipy RK45 on the
 host calling the GPU score model per step (reference: samplers.py:204-234) on
@@ -23,8 +36,8 @@ ratio is a floor, not a cherry-pick.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}. The
 headline "value" is the energy-ranked full pipeline; the lighter score-only
-pipeline (no energy/scale stage) is reported as
-"score_only_candidates_per_s".
+pipeline (program A alone — the r01-r03 headline configuration) is reported
+as "score_only_candidates_per_s".
 """
 
 import json
@@ -83,89 +96,95 @@ def main():
     # read is the reliable fence).
     reps = 10
 
-    def pipeline_once(batch, key, with_energy_scale):
-        # frozen ViT runs ONCE per batch; its features feed the score
-        # encoder, the energy encoder, and (via the score feature) ScaleNet
-        # (mirrors eval/pipeline.py:_run_one)
-        b = agent.with_image_features(state, batch)
-        feats = agent.extract_features(state, b)
-        poses = agent.sample_candidates(
-            state, b, key, repeat_num=K, T0=0.55, method="fixed", num_steps=50,
-            features=feats,
-        )
-        energy = (
-            energy_agent.get_energy(estate, b, poses, fixed_t=1e-5)
-            if with_energy_scale
-            else None
-        )
-        agg = aggregate_candidates(
-            poses,
-            energy,
-            retain_ratio=cfg.eval.retain_ratio,
-            clustering=cfg.eval.clustering,
-            eps=cfg.eval.clustering_eps,
-            minpts_ratio=cfg.eval.clustering_minpts_ratio,
-        )
-        if with_energy_scale:
-            lengths = scale_agent.predict(sstate, feats[0], agg["rotation"])
-        else:
-            lengths = jnp.zeros((B, 3), jnp.float32)
-        return agg["rotation"], agg["translation"], lengths
-
-    def make_loop(with_energy_scale):
-        @jax.jit
-        def pipeline_loop(batch, key):
-            def body(carry, k):
-                rot_prev, _, _ = carry
-                keyk = jax.random.fold_in(key, k)
-                # data dependency on the previous iteration's output
-                b = dict(batch)
-                eps = 0.0 * rot_prev[0, 0, 0]
-                b["pts"] = batch["pts"] + eps
-                b["roi_rgb"] = batch["roi_rgb"] + eps
-                out = pipeline_once(b, keyk, with_energy_scale)
-                return out, None
-
-            rot0 = jnp.zeros((B, 3, 3), jnp.float32)
-            t0 = jnp.zeros((B, 3), jnp.float32)
-            l0 = jnp.zeros((B, 3), jnp.float32)
-            (rot, trans, lengths), _ = jax.lax.scan(
-                body, (rot0, t0, l0), jnp.arange(reps)
-            )
-            return rot, trans, lengths
-
-        return pipeline_loop
-
-    def time_loop(loop):
-        R, t, L = loop(batch, jax.random.PRNGKey(10_000))
-        _ = float(t[0, 0])  # compile + warm up
+    def timed(loop, *args):
+        out = loop(*args)
+        _ = float(jnp.asarray(out[0]).reshape(-1)[0])  # compile + warm
         best = float("inf")
         for i in range(3):
             start = time.perf_counter()
-            R, t, L = loop(batch, jax.random.PRNGKey(i))
-            _ = float(t[0, 0])
+            out = loop(*args, seed=i)
+            _ = float(jnp.asarray(out[0]).reshape(-1)[0])
             best = min(best, time.perf_counter() - start)
         return best / reps
 
-    dt_full = time_loop(make_loop(True))
-    dt_score = time_loop(make_loop(False))
+    # ---- program A: score pipeline (pixels -> candidates -> agg) ----------
+    @jax.jit
+    def score_loop(state, batch, seed=0):
+        key = jax.random.PRNGKey(seed)
+
+        def body(carry, k):
+            rot_prev, _ = carry
+            keyk = jax.random.fold_in(key, k)
+            b = dict(batch)
+            eps = 0.0 * rot_prev[0, 0, 0]
+            b["pts"] = batch["pts"] + eps
+            b["roi_rgb"] = batch["roi_rgb"] + eps
+            b = agent.with_image_features(state, b)
+            feats = agent.extract_features(state, b)
+            poses = agent.sample_candidates(
+                state, b, keyk, repeat_num=K, T0=0.55, method="fixed",
+                num_steps=50, features=feats,
+            )
+            agg = aggregate_candidates(
+                poses, None, retain_ratio=cfg.eval.retain_ratio,
+                clustering=cfg.eval.clustering, eps=cfg.eval.clustering_eps,
+                minpts_ratio=cfg.eval.clustering_minpts_ratio,
+            )
+            return (agg["rotation"], agg["translation"]), poses
+
+        init = (jnp.zeros((B, 3, 3), jnp.float32), jnp.zeros((B, 3), jnp.float32))
+        (rot, trans), all_poses = jax.lax.scan(body, init, jnp.arange(reps))
+        return trans, all_poses[-1]
+
+    dt_score = timed(score_loop, state, batch)
+
+    # ---- program B: energy + energy-sorted aggregation + scale ------------
+    # dino features computed once here (in the full pipeline they are shared
+    # with the score stage, where program A already pays for them); the
+    # energy agent's OWN point encoder + EnergyNet over B x K run per
+    # iteration, as the reference's inference_energy does
+    b_feat = agent.with_image_features(state, batch)
+    feats0 = agent.extract_features(state, b_feat)
+    poses0 = jax.random.normal(jax.random.PRNGKey(5), (B, K, 9)) * 0.5
+
+    @jax.jit
+    def energy_scale_loop(estate, sstate, batch, poses0, pts_feat, seed=0):
+        def body(carry, k):
+            poses = poses0 + 0.0 * carry[0, 0]
+            energy = energy_agent.get_energy(estate, batch, poses, fixed_t=1e-5)
+            agg = aggregate_candidates(
+                poses, energy, retain_ratio=cfg.eval.retain_ratio,
+                clustering=cfg.eval.clustering, eps=cfg.eval.clustering_eps,
+                minpts_ratio=cfg.eval.clustering_minpts_ratio,
+            )
+            lengths = scale_agent.predict(sstate, pts_feat, agg["rotation"])
+            return lengths, None
+
+        lengths, _ = jax.lax.scan(
+            body, jnp.full((B, 3), float(seed), jnp.float32), jnp.arange(reps)
+        )
+        return (lengths,)
+
+    dt_es = timed(energy_scale_loop, estate, sstate, b_feat, poses0, feats0[0])
+
+    dt_full = dt_score + dt_es
     cand_per_s = B * K / dt_full
     cand_per_s_score = B * K / dt_score
 
-    # ---- tracking throughput (BASELINE.md names tracking frames/s) --------
+    # ---- tracking: warm-started sampling loop (+ the same B stage) --------
     # 16 video streams x 4 objects multiplexed into the same 64-object batch
     # (reference: evaluation_tracking.py:227-331 multiplexes <=30 videos);
-    # each iteration = one tracking step per stream: warm-started ODE from
-    # T0=0.25 (reference: scripts/eval_tracking.sh), EnergyNet ranking over
-    # all candidates (reference: evaluation_tracking.py:137-183), energy-
-    # sorted aggregation, ScaleNet (:189-197), next-frame prior. Pixels
-    # change every frame, so the frozen ViT runs once per frame — the
-    # faithful per-frame cost.
+    # per frame: warm-started ODE from T0=0.25 (reference:
+    # scripts/eval_tracking.sh), EnergyNet ranking + ScaleNet (program B),
+    # next-frame prior. Pixels change every frame, so the frozen ViT runs
+    # once per frame — the faithful per-frame cost.
     streams = 16
     from genpose2_tpu.so3.rotations import matrix_to_rot6d_cols
 
     @jax.jit
-    def tracking_loop(batch, prev0, key):
+    def tracking_loop(state, batch, prev0, seed=0):
+        key = jax.random.PRNGKey(seed)
+
         def body(prev, k):
             eps = 0.0 * prev[0, 0]
             b = dict(batch)
@@ -177,34 +196,23 @@ def main():
                 state, b, k, repeat_num=K, T0=0.25, init_x=init_x,
                 method="fixed", num_steps=50, features=feats,
             )
-            energy = energy_agent.get_energy(estate, b, poses, fixed_t=1e-5)
             agg = aggregate_candidates(
-                poses, energy, retain_ratio=cfg.eval.retain_ratio,
+                poses, None, retain_ratio=cfg.eval.retain_ratio,
                 clustering=cfg.eval.clustering, eps=cfg.eval.clustering_eps,
                 minpts_ratio=cfg.eval.clustering_minpts_ratio,
             )
-            _lengths = scale_agent.predict(sstate, feats[0], agg["rotation"])
             nxt = jnp.concatenate(
                 [matrix_to_rot6d_cols(agg["rotation"]), agg["translation"]],
                 axis=-1,
             )
-            # fold the scale output into the carry so it cannot be elided
-            nxt = nxt + 0.0 * _lengths[0, 0]
             return nxt, None
 
         prev, _ = jax.lax.scan(body, prev0, jax.random.split(key, reps))
-        return prev
+        return (prev,)
 
     prev0 = jnp.zeros((B, 9), jnp.float32).at[:, 0].set(1.0).at[:, 4].set(1.0)
-    prev = tracking_loop(batch, prev0, jax.random.PRNGKey(77))
-    _ = float(prev[0, 0])
-    best_tr = float("inf")
-    for i in range(3):
-        start = time.perf_counter()
-        prev = tracking_loop(batch, prev0, jax.random.PRNGKey(200 + i))
-        _ = float(prev[0, 0])
-        best_tr = min(best_tr, time.perf_counter() - start)
-    frames_per_s = streams * reps / best_tr
+    dt_track = timed(tracking_loop, state, batch, prev0)
+    frames_per_s = streams / (dt_track + dt_es)
 
     print(
         json.dumps(
@@ -215,7 +223,8 @@ def main():
                     "candidates/s (FULL eval pipeline, pixels-to-pose: B=64 "
                     "objects, 256px crops, DinoV3 ViT-S+/16 + fused "
                     "PointNet++ + 50-step ODE x K=50 + EnergyNet ranking "
-                    "over BxK + energy-sorted aggregation + ScaleNet)"
+                    "over BxK + energy-sorted aggregation + ScaleNet; "
+                    "timed as additive programs A+B, see bench.py docstring)"
                 ),
                 "vs_baseline": round(cand_per_s / BASELINE_CANDIDATES_PER_S, 2),
                 "score_only_candidates_per_s": round(cand_per_s_score, 1),

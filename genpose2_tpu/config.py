@@ -55,6 +55,9 @@ class SamplerConfig:
     # Maximum RK45 iterations for the on-device adaptive solver (safety bound for
     # lax.while_loop; scipy runs unbounded).
     max_rk45_steps: int = 2000
+    # fixed-grid RK4 as ONE fused Pallas program (ops/ode_rk4.py); off falls
+    # back to the lax.scan XLA formulation (parity: tests/test_ode_fused.py)
+    fused_fixed: bool = True
 
 
 @dataclass(frozen=True)

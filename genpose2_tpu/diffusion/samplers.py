@@ -206,6 +206,8 @@ def ode_sampler(
     method: str = "rk45",
     max_steps: int = 2000,
     return_trajectory: bool = False,
+    fused_weights: Optional[dict] = None,
+    compute_dtype: str = "float32",
 ):
     """Sample poses by integrating the reverse probability-flow ODE from T0 to
     sde.eps, entirely on device.
@@ -234,6 +236,18 @@ def ode_sampler(
         x, nsteps = rk45_integrate(
             lambda t, y: rhs(t, y), T0, eps, x0, rtol=rtol, atol=atol, max_steps=max_steps
         )
+    elif method == "fixed" and fused_weights is not None and not return_trajectory:
+        # the whole integration as ONE Pallas program (ops/ode_rk4.py):
+        # same butcher tableau and score math as the scan below, with the
+        # pose tile and folded weights VMEM-resident for all steps
+        from genpose2_tpu.ops.ode_rk4 import fused_rk4_integrate
+
+        n = num_steps if num_steps is not None else 500
+        x = fused_rk4_integrate(
+            x0, fused_weights, sde, T0, n, compute_dtype=compute_dtype
+        )
+        traj = None
+        nsteps = jnp.asarray(n)
     elif method == "fixed":
         n = num_steps if num_steps is not None else 500
         ts = jnp.linspace(T0, eps, n + 1)

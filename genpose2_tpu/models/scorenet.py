@@ -57,6 +57,66 @@ class PoseScoreNet(nn.Module):
         return out / (std + 1e-7)
 
 
+def fast_score_weights(
+    scorenet_params,
+    scorenet_constants,
+    pts_feat,
+    rgb_feat=None,
+    pose_dim: int = 9,
+    regression_head: str = "Rx_Ry_and_T",
+):
+    """Fold a PoseScoreNet's parameters into the fast-path layout shared by
+    ``make_fast_score_fn`` (XLA closure) and the fused RK4 ODE kernel
+    (ops/ode_rk4.py): heads' first layers concatenated, second layers
+    block-diagonal, and the loop-invariant pts/rgb first-layer contribution
+    precomputed into ``static``."""
+    p = scorenet_params
+    fourier_W = scorenet_constants["GaussianFourierProjection_0"]["W"]  # (64,)
+    t_dense = p["Dense_0"]
+    pose_mlp = p["MLP_0"]
+
+    if regression_head == "RT":
+        head_names = ["MLP_1"]
+    elif regression_head == "R_and_T":
+        head_names = ["MLP_1", "MLP_2"]
+    elif regression_head == "Rx_Ry_and_T":
+        head_names = ["fusion_tail_rot_x", "fusion_tail_rot_y", "fusion_tail_trans"]
+    else:
+        raise NotImplementedError(regression_head)
+
+    W1 = jnp.concatenate([p[h]["Dense_0"]["kernel"] for h in head_names], axis=1)
+    b1 = jnp.concatenate([p[h]["Dense_0"]["bias"] for h in head_names], axis=0)
+    # second layer as ONE block-diagonal matmul: each head's (w_i, d_i) kernel
+    # occupies its own row/column block. 3x the (tiny) FLOPs of per-head
+    # matmuls, but one op instead of three matmuls + a concat per score
+    # evaluation — the ODE loop calls this 4x per RK4 step.
+    W2bd = jax.scipy.linalg.block_diag(
+        *[p[h]["Dense_1"]["kernel"] for h in head_names]
+    )
+    b2cat = jnp.concatenate([p[h]["Dense_1"]["bias"] for h in head_names])
+
+    F = pts_feat.shape[-1]
+    dyn_dim = 128 + 256  # t_feat + pose_feat widths
+    # kernel row layout follows the concat order [pts, t, pose, rgb]
+    static = pts_feat @ W1[:F]
+    if rgb_feat is not None:
+        static = static + rgb_feat @ W1[F + dyn_dim :]
+    static = static + b1  # (B, sum widths)
+
+    W1_dyn = W1[F : F + dyn_dim]
+    return {
+        "fourier_W": fourier_W,
+        "t_dense": t_dense,
+        "pose_mlp": pose_mlp,
+        "static": static,
+        "W1_dyn": W1_dyn,
+        "W1_t": W1_dyn[:128],
+        "W1_pose": W1_dyn[128:],
+        "W2bd": W2bd,
+        "b2cat": b2cat,
+    }
+
+
 def make_fast_score_fn(
     scorenet_params,
     scorenet_constants,
@@ -88,46 +148,23 @@ def make_fast_score_fn(
     Parity with the module (same params) is asserted in
     tests/test_models.py::test_fast_score_fn_parity.
     """
-    p = scorenet_params
-    fourier_W = scorenet_constants["GaussianFourierProjection_0"]["W"]  # (64,)
-    t_dense = p["Dense_0"]
-    pose_mlp = p["MLP_0"]
-
-    if regression_head == "RT":
-        head_names = ["MLP_1"]
-        out_dims = [pose_dim]
-    elif regression_head == "R_and_T":
-        head_names = ["MLP_1", "MLP_2"]
-        out_dims = [pose_dim - 3, 3]
-    elif regression_head == "Rx_Ry_and_T":
-        head_names = ["fusion_tail_rot_x", "fusion_tail_rot_y", "fusion_tail_trans"]
-        out_dims = [3, 3, 3]
-    else:
-        raise NotImplementedError(regression_head)
-
-    W1 = jnp.concatenate([p[h]["Dense_0"]["kernel"] for h in head_names], axis=1)
-    b1 = jnp.concatenate([p[h]["Dense_0"]["bias"] for h in head_names], axis=0)
-    widths = [p[h]["Dense_0"]["kernel"].shape[1] for h in head_names]
-    # second layer as ONE block-diagonal matmul: each head's (w_i, d_i) kernel
-    # occupies its own row/column block. 3x the (tiny) FLOPs of per-head
-    # matmuls, but one op instead of three matmuls + a concat per score
-    # evaluation — the ODE loop calls this 4x per RK4 step.
-    W2bd = jax.scipy.linalg.block_diag(
-        *[p[h]["Dense_1"]["kernel"] for h in head_names]
+    w = fast_score_weights(
+        scorenet_params,
+        scorenet_constants,
+        pts_feat,
+        rgb_feat,
+        pose_dim=pose_dim,
+        regression_head=regression_head,
     )
-    b2cat = jnp.concatenate([p[h]["Dense_1"]["bias"] for h in head_names])
-
-    F = pts_feat.shape[-1]
-    dyn_dim = 128 + 256  # t_feat + pose_feat widths
-    # kernel row layout follows the concat order [pts, t, pose, rgb]
-    static = pts_feat @ W1[:F]
-    if rgb_feat is not None:
-        static = static + rgb_feat @ W1[F + dyn_dim :]
-    static = static + b1  # (B, sum widths)
-
-    W1_dyn = W1[F : F + dyn_dim]
-    W1_t = W1_dyn[:128]
-    W1_pose = W1_dyn[128:]
+    fourier_W = w["fourier_W"]
+    t_dense = w["t_dense"]
+    pose_mlp = w["pose_mlp"]
+    static = w["static"]
+    W1_dyn = w["W1_dyn"]
+    W1_t = w["W1_t"]
+    W1_pose = w["W1_pose"]
+    W2bd = w["W2bd"]
+    b2cat = w["b2cat"]
 
     # per-evaluation matmul compute dtype: bf16 halves the ODE loop's MXU
     # time; the hoisted static part, the t embedding, biases, activations and

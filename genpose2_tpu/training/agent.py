@@ -609,6 +609,27 @@ class PoseAgent:
                 pts_center=center_rep,
             )
             return poses.reshape(B, K, D)
+        fused_weights = None
+        if (
+            method == "fixed"
+            and self.cfg.sampler.fused_fixed
+            and self.agent_type == "score"
+            and not self.use_decoder
+        ):
+            # whole-integration Pallas kernel (ops/ode_rk4.py): fold the
+            # score net once per call; the sampler then runs ONE program
+            # instead of ~29 fusions per RK4 step
+            from genpose2_tpu.models.scorenet import fast_score_weights
+
+            v = self._variables(state, use_ema)
+            fused_weights = fast_score_weights(
+                v["params"]["pose_net"],
+                v["constants"]["pose_net"],
+                feat_rep,
+                rgb_rep,
+                pose_dim=D,
+                regression_head=self.cfg.model.regression_head,
+            )
         poses, _ = ode_sampler(
             key,
             sfn,
@@ -624,6 +645,8 @@ class PoseAgent:
             atol=self.cfg.sampler.atol,
             rtol=self.cfg.sampler.rtol,
             max_steps=self.cfg.sampler.max_rk45_steps,
+            fused_weights=fused_weights,
+            compute_dtype=self.cfg.model.score_dtype,
         )
         return poses.reshape(B, K, D)
 
