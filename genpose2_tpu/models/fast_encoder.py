@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from genpose2_tpu.config import PointNet2Config
 from genpose2_tpu.ops import furthest_point_sample, gather_points
 from genpose2_tpu.ops.ball_query_pallas import ball_count
-from genpose2_tpu.ops.fused_sa import fused_sa_scale
+from genpose2_tpu.ops.fused_sa import fused_sa_stage
 from genpose2_tpu.ops.relpe_attention import relpe_attention
 
 _BN_EPS = 1e-5
@@ -102,15 +102,18 @@ def _fast_sa_stage(sa_p, sa_s, xyz, features, cfg: PointNet2Config, k: int, dt):
     else:
         nxs = new_xyz
 
-    for s, (radius, ns) in enumerate(zip(cfg.radii[k], cfg.nsamples[k])):
+    # all scales of the stage run in ONE kernel launch (shared distance
+    # matrix, in-VMEM concat — ops/fused_sa.py:fused_sa_stage)
+    projs, centers, affines_list, weights_list = [], [], [], []
+    for s in range(len(cfg.radii[k])):
         kern = sa_p[f"proj_kernel_{s}"]
-        proj = inp @ kern  # (B, N, h1)
+        projs.append((inp @ kern).astype(dt))  # (B, N, h1)
         if cfg.use_xyz:
-            center = nxs @ kern[:3]  # (B, npoint, h1)
+            centers.append((nxs @ kern[:3]).astype(jnp.float32))  # (B, npoint, h1)
         else:
             # module parity: SetAbstractionMSG only centers when use_xyz
             # (the first 3 kernel rows are feature rows otherwise)
-            center = jnp.zeros((nxs.shape[0], nxs.shape[1], kern.shape[1]))
+            centers.append(jnp.zeros((nxs.shape[0], nxs.shape[1], kern.shape[1])))
 
         mlp_p = sa_p[f"SharedMLP_{s}"]
         mlp_s = sa_s[f"SharedMLP_{s}"]
@@ -119,20 +122,20 @@ def _fast_sa_stage(sa_p, sa_s, xyz, features, cfg: PointNet2Config, k: int, dt):
         for li in range(len(cfg.mlps[k][s]) - 1):
             weights.append(mlp_p[f"Dense_{li}"]["kernel"].astype(dt))
             affines.append(_fold_bn(mlp_p[f"BatchNorm_{li}"], mlp_s[f"BatchNorm_{li}"]))
-        out = fused_sa_scale(
-            xyz,
-            nxs,
-            proj.astype(dt),
-            center.astype(jnp.float32),
-            affines,
-            weights,
-            radius,
-            ns,
-            slot_chunk=4 if use_skip else 8,
-            dynamic_skip=use_skip,
-        )
-        scale_outputs.append(out)
-    cat = jnp.concatenate(scale_outputs, axis=-1)
+        affines_list.append(affines)
+        weights_list.append(weights)
+    cat = fused_sa_stage(
+        xyz,
+        nxs,
+        projs,
+        centers,
+        affines_list,
+        weights_list,
+        tuple(cfg.radii[k]),
+        tuple(cfg.nsamples[k]),
+        slot_chunk=4 if use_skip else 8,
+        dynamic_skip=use_skip,
+    )
     if use_skip:
         cat = jnp.take_along_axis(cat, inv_order[..., None], axis=1)
     return new_xyz, cat
@@ -216,17 +219,25 @@ def fast_fus_forward(variables, pointcloud, cfg: PointNet2Config):
         if new_xyz is not None:
             # fused rel-PE attention kernel: the bias tile is computed on the
             # fly from new_xyz; no (B, *, M, M) tensor is materialized
-            # (parity: tests/test_ops.py::TestRelPEAttention)
+            # (parity: tests/test_ops.py::TestRelPEAttention).
+            # qkv/wo/FF matmuls run in the config's compute dtype with f32
+            # accumulation (the f32 formulation was ~190 GFLOP/iteration at
+            # the flagship shapes — the largest MXU term of the encoder);
+            # residuals, LayerNorm stats and biases stay f32
+            def mm(a, w):
+                return jnp.dot(a.astype(dt), w.astype(dt),
+                               preferred_element_type=jnp.float32)
+
             pe = params[f"EfficientRelativePositionalEncoding_{k}"]
             mha = tb["MultiheadAttentionWithRelativePE_0"]
-            q = features @ mha["wq"]["kernel"] + mha["wq"]["bias"]
-            kk = features @ mha["wk"]["kernel"] + mha["wk"]["bias"]
-            v = features @ mha["wv"]["kernel"] + mha["wv"]["bias"]
+            q = mm(features, mha["wq"]["kernel"]) + mha["wq"]["bias"]
+            kk = mm(features, mha["wk"]["kernel"]) + mha["wk"]["bias"]
+            v = mm(features, mha["wv"]["kernel"]) + mha["wv"]["bias"]
             attn = relpe_attention(new_xyz, q, kk, v, pe, cfg.num_heads)
-            attn = attn @ mha["wo"]["kernel"] + mha["wo"]["bias"]
+            attn = mm(attn, mha["wo"]["kernel"]) + mha["wo"]["bias"]
             h = _layernorm(features + attn, tb["LayerNorm_0"])
-            ff = jax.nn.relu(h @ tb["Dense_0"]["kernel"] + tb["Dense_0"]["bias"])
-            ff = ff @ tb["Dense_1"]["kernel"] + tb["Dense_1"]["bias"]
+            ff = jax.nn.relu(mm(h, tb["Dense_0"]["kernel"]) + tb["Dense_0"]["bias"])
+            ff = mm(ff, tb["Dense_1"]["kernel"]) + tb["Dense_1"]["bias"]
             features = _layernorm(h + ff, tb["LayerNorm_1"])
         else:
             features = TransformerBlockWithRelativePE(

@@ -356,6 +356,233 @@ def fused_sa_scale(
     )(x, y, z, cx, cy, cz, proj, center_proj, *wa)
 
 
+def _sa_stage_kernel(*refs, radii, nsamples, n_valid, num_layers, slot_chunk,
+                     dynamic_skip):
+    """All MSG scales of one SA stage in a single program.
+
+    The two (or more) scales of an MSG stage share the same xyz/new_xyz, so
+    the (TM, N) squared-distance matrix — the largest VPU term of the
+    per-scale kernel — is computed ONCE and reused by every scale's radius
+    mask. The per-scale outputs are concatenated in VMEM and written as the
+    stage's final (1, TM, sum C_s) block, which also removes the XLA-side
+    concat copy the per-scale formulation needed.
+
+    refs = [x, y, z, cx, cy, cz,
+            (proj_s, center_s, *wa_s) for each scale,
+            out_ref,
+            (acc_s scratch for each scale, only when dynamic_skip)].
+    Per-scale math is identical to _sa_scale_kernel.
+    """
+    n_scales = len(radii)
+    x_ref, y_ref, z_ref, cx_ref, cy_ref, cz_ref = refs[:6]
+    pos = 6
+    scales = []
+    for s in range(n_scales):
+        proj_ref, center_ref = refs[pos], refs[pos + 1]
+        pos += 2
+        nw = 2 + 3 * num_layers[s]
+        scales.append((proj_ref, center_ref, refs[pos : pos + nw]))
+        pos += nw
+    out_ref = refs[pos]
+    accs = refs[pos + 1 :] if dynamic_skip else None
+
+    x = x_ref[0]  # (1, N)
+    y = y_ref[0]
+    z = z_ref[0]
+    cx = cx_ref[0].reshape(-1, 1)  # (TM, 1)
+    cy = cy_ref[0].reshape(-1, 1)
+    cz = cz_ref[0].reshape(-1, 1)
+    TM = cx.shape[0]
+    N = x.shape[1]
+
+    d2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2  # (TM, N), shared
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, N), dimension=1)
+    valid = lane < n_valid
+
+    outs = []
+    for s, (proj_ref, center_ref, wa) in enumerate(scales):
+        proj = proj_ref[0]  # (N, h1_s)
+        center = center_ref[0].astype(jnp.float32)  # (TM, h1_s)
+        radius = radii[s]
+        ns = nsamples[s]
+
+        a0 = wa[0][:]
+        c0 = wa[1][:]
+        layers = [
+            (wa[2 + 3 * li][:], wa[3 + 3 * li][:], wa[4 + 3 * li][:])
+            for li in range(num_layers[s])
+        ]
+
+        maskf = ((d2 < radius * radius) & valid).astype(jnp.float32)
+        rank = blocked_prefix_rank(maskf)
+        ranksel = (rank * maskf).astype(jnp.int32)
+        cnt = rank[:, -1:].astype(jnp.int32)
+
+        def mlp(h, ctr, a0=a0, c0=c0, layers=layers):
+            h = jnp.maximum((h - ctr) * a0 + c0, 0.0)
+            for W, a, c in layers:
+                z_ = jnp.dot(h.astype(W.dtype), W, preferred_element_type=jnp.float32)
+                h = jnp.maximum(z_ * a + c, 0.0)
+            return h
+
+        g_first = jnp.dot(
+            (ranksel == 1).astype(proj.dtype), proj, preferred_element_type=jnp.float32
+        )
+        g_pad = jnp.where(cnt > 0, g_first, proj[0:1].astype(jnp.float32))
+        h_pad = mlp(g_pad, center)
+
+        SC = min(slot_chunk, ns)
+        while ns % SC:
+            SC -= 1
+        rank_t = jnp.concatenate([ranksel] * SC, axis=0)  # (SC*TM, N)
+        center_t = jnp.concatenate([center] * SC, axis=0)
+        cnt_t = jnp.concatenate([cnt] * SC, axis=0)
+        h_pad_t = jnp.concatenate([h_pad] * SC, axis=0)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (SC * TM, 1), 0) // TM
+
+        def chunk_val(ci, acc, proj=proj, rank_t=rank_t, center_t=center_t,
+                      cnt_t=cnt_t, h_pad_t=h_pad_t, srow=srow, SC=SC, mlp=mlp):
+            svals = srow + (ci * SC + 1)
+            onehot = (rank_t == svals).astype(proj.dtype)
+            g = jnp.dot(onehot, proj, preferred_element_type=jnp.float32)
+            h = mlp(g, center_t)
+            h = jnp.where(cnt_t > svals - 1, h, h_pad_t)
+            chunk_max = jnp.max(h.reshape(SC, TM, -1), axis=0)
+            return jnp.maximum(acc, chunk_max)
+
+        if not dynamic_skip:
+            acc = h_pad
+            for ci in range(ns // SC):
+                acc = chunk_val(ci, acc)
+            outs.append(acc)
+        else:
+            # same runtime chunk skip as _sa_scale_kernel, accumulating in a
+            # per-scale f32 VMEM scratch (predicated blocks must write refs)
+            accs[s][...] = h_pad
+            cnt_max = jnp.max(cnt)
+            for ci in range(ns // SC):
+
+                @pl.when(ci * SC < cnt_max)
+                def _(ci=ci, s=s, chunk_val=chunk_val):
+                    accs[s][...] = chunk_val(ci, accs[s][...])
+
+            outs.append(None)
+
+    if dynamic_skip:
+        outs = [accs[s][...] for s in range(n_scales)]
+    out_ref[0] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radii", "nsamples", "row_tile", "out_dtype", "slot_chunk", "dynamic_skip",
+    ),
+)
+def fused_sa_stage(
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    projs: Sequence[jnp.ndarray],
+    center_projs: Sequence[jnp.ndarray],
+    affines_list: Sequence[Sequence],
+    weights_list: Sequence[Sequence[jnp.ndarray]],
+    radii: Sequence[float],
+    nsamples: Sequence[int],
+    row_tile: int = 128,
+    out_dtype=jnp.float32,
+    slot_chunk: int = 8,
+    dynamic_skip: bool = False,
+):
+    """Every MSG scale of one SA stage in one kernel launch.
+
+    Equivalent to concatenating fused_sa_scale over the scales
+    (parity test: tests/test_ops.py::TestFusedSAStage), but the shared
+    (TM, N) distance matrix is computed once and the concat happens in VMEM.
+
+    projs[s] (B, N, h1_s), center_projs[s] (B, M, h1_s), affines_list[s] /
+    weights_list[s] as in fused_sa_scale, radii/nsamples static tuples
+    -> (B, M, sum_s C_out_s).
+    """
+    radii = tuple(float(r) for r in radii)
+    nsamples = tuple(int(n) for n in nsamples)
+    n_scales = len(radii)
+    assert len(projs) == len(center_projs) == n_scales
+    assert len(affines_list) == len(weights_list) == n_scales
+    B, N, _ = projs[0].shape
+    M = new_xyz.shape[1]
+    num_layers = tuple(len(w) for w in weights_list)
+    c_outs = [affines_list[s][-1][0].shape[0] for s in range(n_scales)]
+    C_out = sum(c_outs)
+
+    TM = min(row_tile, M)
+    assert M % TM == 0 and (TM % 128 == 0 or TM == M), (M, TM)
+
+    n_valid = N
+    Np = ((N + 127) // 128) * 128
+    if Np != N:
+        xyz = jnp.pad(xyz, ((0, 0), (0, Np - N), (0, 0)), constant_values=1e9)
+        projs = [jnp.pad(p, ((0, 0), (0, Np - N), (0, 0))) for p in projs]
+
+    xyz = jax.lax.stop_gradient(xyz).astype(jnp.float32)
+    new_xyz = jax.lax.stop_gradient(new_xyz).astype(jnp.float32)
+    coord_ins = [xyz[..., i][:, None, :] for i in range(3)]  # (B, 1, Np)
+    coord_ins += [new_xyz[..., i][:, None, :] for i in range(3)]  # (B, 1, M)
+
+    pts_spec = pl.BlockSpec((1, 1, Np), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
+    ctr_spec = pl.BlockSpec((1, 1, TM), lambda b, m: (b, 0, m), memory_space=pltpu.VMEM)
+    ins = list(coord_ins)
+    in_specs = [pts_spec, pts_spec, pts_spec, ctr_spec, ctr_spec, ctr_spec]
+    for s in range(n_scales):
+        h1 = projs[s].shape[-1]
+        ins.append(projs[s])
+        in_specs.append(
+            pl.BlockSpec((1, Np, h1), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        ins.append(center_projs[s])
+        in_specs.append(
+            pl.BlockSpec((1, TM, h1), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM)
+        )
+        wa = [
+            affines_list[s][0][0].reshape(1, -1).astype(jnp.float32),
+            affines_list[s][0][1].reshape(1, -1).astype(jnp.float32),
+        ]
+        for li in range(num_layers[s]):
+            wa.append(weights_list[s][li])
+            wa.append(affines_list[s][li + 1][0].reshape(1, -1).astype(jnp.float32))
+            wa.append(affines_list[s][li + 1][1].reshape(1, -1).astype(jnp.float32))
+        ins.extend(wa)
+        in_specs.extend(
+            pl.BlockSpec(w.shape, lambda b, m, nd=w.ndim: (0,) * nd,
+                         memory_space=pltpu.VMEM)
+            for w in wa
+        )
+
+    kernel = functools.partial(
+        _sa_stage_kernel,
+        radii=radii,
+        nsamples=nsamples,
+        n_valid=n_valid,
+        num_layers=num_layers,
+        slot_chunk=slot_chunk,
+        dynamic_skip=dynamic_skip,
+    )
+    scratch_shapes = (
+        [pltpu.VMEM((TM, c), jnp.float32) for c in c_outs] if dynamic_skip else []
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, M // TM),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, TM, C_out), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, M, C_out), out_dtype),
+        scratch_shapes=scratch_shapes,
+        interpret=jax.default_backend() != "tpu",
+    )(*ins)
+
+
 def fused_group_mlp_pool_reference(proj, idx, center_proj, affines, weights):
     """Dense-jnp oracle for the kernel (same math, XLA ops)."""
     from genpose2_tpu.ops.grouping import group_points

@@ -9,6 +9,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+# share the bench's persistent compile cache (remote compiles are minutes)
+jax.config.update("jax_compilation_cache_dir", "/tmp/gp2_jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from genpose2_tpu.config import ModelConfig, PointNet2Config, default_config
 from genpose2_tpu.data.synthetic import SyntheticPoseData
 from genpose2_tpu.eval import aggregate_candidates

@@ -309,6 +309,61 @@ class TestFusedSA:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+class TestFusedSAStage:
+    @pytest.mark.parametrize("dynamic_skip", [False, True])
+    def test_stage_matches_per_scale_concat(self, rng, dynamic_skip):
+        """Merged multi-scale stage kernel == concat of fused_sa_scale calls
+        (shared distance matrix, in-VMEM concat, scratch accumulators)."""
+        from genpose2_tpu.ops.fused_sa import fused_sa_scale, fused_sa_stage
+
+        B, N, M = 2, 200, 16
+        radii = (0.15, 0.4)
+        nsamples = (4, 8)
+        h1s = (8, 16)
+        widths = ((8, 12), (16, 8))
+        xyz = jnp.asarray(rng.uniform(-0.4, 0.4, size=(B, N, 3)).astype(np.float32))
+        # one centroid far away -> zero hits in both scales
+        new_xyz = jnp.concatenate(
+            [xyz[:, : M - 1], jnp.full((B, 1, 3), 5.0, jnp.float32)], axis=1
+        )
+        projs, centers, affines_list, weights_list = [], [], [], []
+        for s in range(2):
+            projs.append(jnp.asarray(rng.normal(size=(B, N, h1s[s])).astype(np.float32)))
+            centers.append(jnp.asarray(rng.normal(size=(B, M, h1s[s])).astype(np.float32)))
+            ws = (h1s[s],) + widths[s]
+            affines_list.append(
+                [
+                    (
+                        jnp.asarray(rng.uniform(0.5, 1.5, size=(w,)).astype(np.float32)),
+                        jnp.asarray(rng.normal(size=(w,)).astype(np.float32)),
+                    )
+                    for w in ws
+                ]
+            )
+            weights_list.append(
+                [
+                    jnp.asarray(rng.normal(size=(a, b)).astype(np.float32))
+                    for a, b in zip(ws[:-1], ws[1:])
+                ]
+            )
+
+        want = jnp.concatenate(
+            [
+                fused_sa_scale(
+                    xyz, new_xyz, projs[s], centers[s], affines_list[s],
+                    weights_list[s], radii[s], nsamples[s], row_tile=16,
+                )
+                for s in range(2)
+            ],
+            axis=-1,
+        )
+        got = fused_sa_stage(
+            xyz, new_xyz, projs, centers, affines_list, weights_list,
+            radii, nsamples, row_tile=16, slot_chunk=4, dynamic_skip=dynamic_skip,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
 class TestRelPEAttention:
     @pytest.mark.parametrize("M", [64, 128, 200])
     def test_matches_xla_modules(self, rng, M):
