@@ -94,14 +94,16 @@ def main():
     sstate = scale_agent.init_state(jax.random.PRNGKey(2), pts_dim=pts_dim)
 
     # Steady-state serving throughput: the host->device dispatch round trip on
-    # this backend is ~30 ms, which would dominate a per-call measurement. A
-    # production server keeps the device saturated, so we measure `reps`
-    # back-to-back pipeline iterations chained inside ONE jit (each iteration
-    # consumes the previous result, so nothing can be elided or overlapped
-    # away) and fence ONCE with a D2H read at the end (block_until_ready can
-    # resolve before remote execution completes on this backend; the scalar
-    # read is the reliable fence).
-    reps = 10
+    # this backend is ~30-35 ms PER CALL (measured constant in the iteration
+    # count), which would dominate a per-call measurement. A production server
+    # keeps the device saturated, so we measure `reps` back-to-back pipeline
+    # iterations chained inside ONE jit (each iteration consumes the previous
+    # result, so nothing can be elided or overlapped away) and fence ONCE with
+    # a D2H read at the end (block_until_ready can resolve before remote
+    # execution completes on this backend; the scalar read is the reliable
+    # fence). reps=50 keeps the amortized dispatch share under 0.7 ms/iter
+    # (reps=10 inflated every iteration by ~3.5 ms of pure dispatch).
+    reps = 50
 
     def timed(loop, *args):
         out = loop(*args)

@@ -26,6 +26,7 @@ from genpose2_tpu.config import PointNet2Config
 from genpose2_tpu.ops import furthest_point_sample, gather_points
 from genpose2_tpu.ops.ball_query_pallas import ball_count
 from genpose2_tpu.ops.fused_sa import fused_sa_stage
+from genpose2_tpu.ops.layernorm import fast_residual_layernorm
 from genpose2_tpu.ops.relpe_attention import relpe_attention
 
 _BN_EPS = 1e-5
@@ -43,6 +44,70 @@ def _fold_bn(bn_params, bn_stats):
     a = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + _BN_EPS)
     c = bn_params["bias"] - bn_stats["mean"] * a
     return a, c
+
+
+def _fast_gaf(p, s, current, original, dt):
+    """Eval-path GatedAttentionFusion as a pure function: BatchNorms folded
+    into affines, matmuls in the compute dtype with f32 accumulation, the
+    concat-matmuls split into half-matmuls, and the k=7 spatial-attention
+    conv expanded to shifted FMAs on (B, M) planes. Algebraically equal to
+    ``GatedAttentionFusion(C).apply(..., train=False)`` (parity:
+    tests/test_models.py::test_fast_gaf_parity).
+
+    reference semantics: networks/pts_encoder/attention.py:224-325."""
+    from genpose2_tpu.models.layers import linear_resize_points
+
+    C = current.shape[-1]
+    if original.shape[1] != current.shape[1]:
+        original = linear_resize_points(original, current.shape[1])
+
+    def mm(a, w):
+        return jnp.dot(a.astype(dt), w.astype(dt),
+                       preferred_element_type=jnp.float32)
+
+    # original transform: Dense + BN + relu
+    a0, c0 = _fold_bn(p["BatchNorm_0"], s["BatchNorm_0"])
+    orig_t = jnp.maximum(
+        (mm(original, p["Dense_0"]["kernel"]) + p["Dense_0"]["bias"]) * a0 + c0, 0.0
+    )
+
+    # channel attention: mean over points of concat == concat of the means
+    pooled = jnp.concatenate(
+        [jnp.mean(current, axis=1, keepdims=True),
+         jnp.mean(orig_t, axis=1, keepdims=True)],
+        axis=-1,
+    )
+    ca = jax.nn.relu(mm(pooled, p["Dense_1"]["kernel"]) + p["Dense_1"]["bias"])
+    ca = jax.nn.sigmoid(
+        (mm(ca, p["Dense_2"]["kernel"]) + p["Dense_2"]["bias"]).astype(jnp.float32)
+    )  # (B, 1, C)
+
+    # spatial attention: k=7 SAME conv over [max_c, mean_c] along points
+    M = current.shape[1]
+    mx = jnp.max(current, axis=-1)  # (B, M)
+    av = jnp.mean(current, axis=-1)
+    kern = p["Conv_0"]["kernel"].astype(jnp.float32)  # (7, 2, 1)
+    mxp = jnp.pad(mx, ((0, 0), (3, 3)))
+    avp = jnp.pad(av, ((0, 0), (3, 3)))
+    logit = jnp.zeros_like(mx)
+    for i in range(7):
+        logit = logit + mxp[:, i : i + M] * kern[i, 0, 0]
+        logit = logit + avp[:, i : i + M] * kern[i, 1, 0]
+    sa = jax.nn.sigmoid(logit)[..., None]  # (B, M, 1)
+
+    attended = orig_t * ca * sa
+
+    # gate: Dense over concat(current, attended) -> two half-matmuls; BN folded
+    ag, cg = _fold_bn(p["BatchNorm_1"], s["BatchNorm_1"])
+    Wg = p["Dense_3"]["kernel"]
+    z = mm(current, Wg[:C]) + mm(attended, Wg[C:]) + p["Dense_3"]["bias"]
+    gate = jax.nn.sigmoid(z * ag + cg)
+    fused = gate * current + (1.0 - gate) * attended
+
+    ao, co = _fold_bn(p["BatchNorm_2"], s["BatchNorm_2"])
+    return jnp.maximum(
+        (mm(fused, p["Dense_4"]["kernel"]) + p["Dense_4"]["bias"]) * ao + co, 0.0
+    )
 
 
 def _fast_sa_stage(sa_p, sa_s, xyz, features, cfg: PointNet2Config, k: int, dt):
@@ -167,17 +232,13 @@ def fast_cls_forward(variables, pointcloud, cfg: PointNet2Config):
 
 def fast_fus_forward(variables, pointcloud, cfg: PointNet2Config):
     """Eval fast path for the flagship PointNet2ClsMSGFus encoder: fused SA
-    stages, with the gated-fusion / relative-PE transformer submodules applied
-    through their own module trees (deterministic at eval; the train-time
-    input jitter is a no-op here).
+    stages, the gated fusion as a pure BN-folded function (_fast_gaf), and the
+    rel-PE transformer through the fused attention kernel (deterministic at
+    eval; the train-time input jitter is a no-op here).
 
     reference: pointnet2.py:255-388 (Pointnet2ClsMSGFus).
     Parity: tests/test_models.py::test_fast_fus_forward_parity."""
-    from genpose2_tpu.models.attention import (
-        EfficientRelativePositionalEncoding,
-        GatedAttentionFusion,
-        TransformerBlockWithRelativePE,
-    )
+    from genpose2_tpu.models.attention import TransformerBlockWithRelativePE
     from genpose2_tpu.models.layers import linear_resize_points
 
     params = variables["params"]
@@ -195,13 +256,8 @@ def fast_fus_forward(variables, pointcloud, cfg: PointNet2Config):
             if downsampled.shape[1] != features.shape[1]:
                 downsampled = linear_resize_points(downsampled, features.shape[1])
             name = f"GatedAttentionFusion_{k - 1}"
-            features = GatedAttentionFusion(
-                out_channels[k - 1], dtype=dt if dt != jnp.float32 else None
-            ).apply(
-                {"params": params[name], "batch_stats": stats.get(name, {})},
-                features,
-                downsampled,
-                train=False,
+            features = _fast_gaf(
+                params[name], stats.get(name, {}), features, downsampled, dt
             )
 
         new_xyz, features = _fast_sa_stage(
@@ -233,12 +289,20 @@ def fast_fus_forward(variables, pointcloud, cfg: PointNet2Config):
             q = mm(features, mha["wq"]["kernel"]) + mha["wq"]["bias"]
             kk = mm(features, mha["wk"]["kernel"]) + mha["wk"]["bias"]
             v = mm(features, mha["wv"]["kernel"]) + mha["wv"]["bias"]
-            attn = relpe_attention(new_xyz, q, kk, v, pe, cfg.num_heads)
+            attn = relpe_attention(
+                new_xyz, q, kk, v, pe, cfg.num_heads,
+                compute_dtype=cfg.compute_dtype,
+            )
             attn = mm(attn, mha["wo"]["kernel"]) + mha["wo"]["bias"]
-            h = _layernorm(features + attn, tb["LayerNorm_0"])
+            h = fast_residual_layernorm(
+                features, attn,
+                tb["LayerNorm_0"]["scale"], tb["LayerNorm_0"]["bias"],
+            )
             ff = jax.nn.relu(mm(h, tb["Dense_0"]["kernel"]) + tb["Dense_0"]["bias"])
             ff = mm(ff, tb["Dense_1"]["kernel"]) + tb["Dense_1"]["bias"]
-            features = _layernorm(h + ff, tb["LayerNorm_1"])
+            features = fast_residual_layernorm(
+                h, ff, tb["LayerNorm_1"]["scale"], tb["LayerNorm_1"]["bias"]
+            )
         else:
             features = TransformerBlockWithRelativePE(
                 out_channels[k], cfg.num_heads, cfg.dropout

@@ -23,17 +23,21 @@ class ImgEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, features):
-        feats = jnp.stack(features, axis=1)  # (B, L, P, D)
-        B, L, P, D = feats.shape
+        B, P, D = features[0].shape
         h = w = int(np.sqrt(P))
 
-        # (1) layer attention (reference: :58-64)
-        attn = nn.Dense(D // 2, dtype=self.dtype)(feats)
-        attn = nn.relu(attn)
-        attn = nn.Dense(1, dtype=self.dtype)(attn)  # (B, L, P, 1)
-        attn = attn.astype(jnp.float32)
-        attn = nn.softmax(attn, axis=1)
-        fused = jnp.sum(feats * attn, axis=1)  # (B, P, D)
+        # (1) layer attention (reference: :58-64). Computed per layer instead
+        # of over a stacked (B, L, P, D) tensor: the stacked form plus its
+        # axis-1 softmax/broadcast measured ~2.5 ms at the flagship shapes
+        # (layout churn on the 75 MB stack dominates); per-layer matmuls with
+        # a lane-axis softmax over the (B, P, L) logits is the same math.
+        d0 = nn.Dense(D // 2, dtype=self.dtype)
+        d1 = nn.Dense(1, dtype=self.dtype)
+        logits = jnp.concatenate(
+            [d1(nn.relu(d0(f))).astype(jnp.float32) for f in features], axis=-1
+        )  # (B, P, L)
+        lw = nn.softmax(logits, axis=-1)
+        fused = sum(f * lw[..., i : i + 1] for i, f in enumerate(features))
 
         # (2) spatial relative-position attention (reference: :66-82)
         coords = np.stack(

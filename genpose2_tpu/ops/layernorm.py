@@ -71,6 +71,38 @@ def fast_add_layernorm(x, h, gamma, scale, bias, eps: float = 1e-6, out_dtype=No
     )
 
 
+def _residual_ln_kernel(x_ref, h_ref, s_ref, b_ref, ln_ref, *, eps):
+    x2 = x_ref[0].astype(jnp.float32) + h_ref[0].astype(jnp.float32)
+    mu = jnp.mean(x2, axis=1, keepdims=True)
+    var = jnp.mean((x2 - mu) ** 2, axis=1, keepdims=True)
+    y = (x2 - mu) * jax.lax.rsqrt(var + eps)
+    ln_ref[0] = (y * s_ref[:] + b_ref[:]).astype(ln_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "out_dtype"))
+def fast_residual_layernorm(x, h, scale, bias, eps: float = 1e-6, out_dtype=None):
+    """LN(x + h) in one pass (post-norm transformer pattern where the residual
+    sum itself is NOT needed downstream — the Fus encoder's blocks, unlike the
+    ViT's pre-norm blocks served by fast_add_layernorm)."""
+    B, N, D = x.shape
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+    spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_residual_ln_kernel, eps=eps),
+        grid=(B,),
+        in_specs=[spec, spec, vspec, vspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), out_dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        x,
+        h,
+        scale.reshape(1, D).astype(jnp.float32),
+        bias.reshape(1, D).astype(jnp.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "out_dtype"))
 def fast_layernorm(x, scale, bias, eps: float = 1e-6, out_dtype=None):
     """x (B, N, D) -> LayerNorm over the last axis, f32 statistics,

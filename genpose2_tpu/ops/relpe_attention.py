@@ -112,8 +112,9 @@ def _kernel(
         ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
-def relpe_attention(xyz, q, k, v, pe_params, num_heads: int):
+@functools.partial(jax.jit, static_argnames=("num_heads", "compute_dtype"))
+def relpe_attention(xyz, q, k, v, pe_params, num_heads: int,
+                    compute_dtype: str = "float32"):
     """xyz (B, M, 3); q, k, v (B, M, C) pre-projected (wq/wk/wv applied by the
     caller); pe_params = EfficientRelativePositionalEncoding param tree
     (Dense_0..Dense_4) -> (B, M, C) attention output (before wo).
@@ -122,10 +123,15 @@ def relpe_attention(xyz, q, k, v, pe_params, num_heads: int):
         bias = EfficientRelativePositionalEncoding(H)(xyz)
         softmax(split_heads(q) split_heads(k)^T / sqrt(D) + bias) split_heads(v)
     without materializing any (B, *, M, M) tensor.
+
+    ``compute_dtype='bfloat16'`` stores q/k/v bf16 so the per-head score and
+    value matmuls stream through the MXU at bf16 rate with f32 accumulation;
+    the bias/softmax arithmetic stays f32 (it is VPU-bound either way).
     """
     B, M, C = q.shape
     H = num_heads
     D = C // H
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     Mp = ((M + 127) // 128) * 128
     # VMEM stack budget: the kernel holds H bias planes + ~10 temporary
@@ -141,7 +147,7 @@ def relpe_attention(xyz, q, k, v, pe_params, num_heads: int):
         v = jnp.pad(v, ((0, 0), (0, Mp - M), (0, 0)))
 
     def heads(t):  # (B, Mp, C) -> (B, H, Mp, D)
-        return t.reshape(B, Mp, H, D).transpose(0, 2, 1, 3)
+        return t.reshape(B, Mp, H, D).transpose(0, 2, 1, 3).astype(cdt)
 
     qh, kh, vh = heads(q), heads(k), heads(v)
     # query-side coordinates sublane-major (B, Mp, 1) so a TQ < 128 tile is a

@@ -383,6 +383,26 @@ class TestFastEncoder:
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
+    def test_fast_gaf_parity(self):
+        """BN-folded pure-function GatedAttentionFusion == the module
+        (eval mode), including the resize branch and the k=7 spatial conv."""
+        from genpose2_tpu.models.attention import GatedAttentionFusion
+        from genpose2_tpu.models.fast_encoder import _fast_gaf
+
+        rng = np.random.default_rng(17)
+        C, M, N0, C0 = 16, 24, 40, 24
+        cur = jnp.asarray(rng.normal(size=(2, M, C)), jnp.float32)
+        orig = jnp.asarray(rng.normal(size=(2, N0, C0)), jnp.float32)
+        mod = GatedAttentionFusion(C)
+        vs = mod.init(jax.random.PRNGKey(0), cur, orig, train=False)
+        vs = jax.tree_util.tree_map(
+            lambda p: p + jnp.asarray(np.abs(rng.normal(size=p.shape, scale=0.05)), p.dtype),
+            vs,
+        )
+        want = mod.apply(vs, cur, orig, train=False)
+        got = _fast_gaf(vs["params"], vs["batch_stats"], cur, orig, jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
     def test_fast_fus_forward_parity(self):
         """Fus-variant fast path == module forward (eval mode)."""
         from genpose2_tpu.models.fast_encoder import fast_fus_forward

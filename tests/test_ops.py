@@ -571,6 +571,22 @@ class TestFastLayerNorm:
         want = ref.apply({"params": {"scale": scale, "bias": bias}}, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
+    def test_residual_ln_matches_add_then_ln(self):
+        import flax.linen as nn
+        import numpy as np
+        from genpose2_tpu.ops.layernorm import fast_residual_layernorm
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(3, 16, 48)).astype(np.float32))
+        h = jnp.asarray(rng.normal(size=(3, 16, 48)).astype(np.float32))
+        scale = jnp.asarray(rng.normal(size=(48,)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(48,)).astype(np.float32))
+        got = fast_residual_layernorm(x, h, scale, bias)
+        want = nn.LayerNorm(dtype=jnp.float32).apply(
+            {"params": {"scale": scale, "bias": bias}}, x + h
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
     def test_bf16_stream(self):
         import numpy as np
         from genpose2_tpu.ops.layernorm import fast_layernorm
