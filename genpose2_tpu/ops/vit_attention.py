@@ -119,35 +119,41 @@ def vit_attention(q, k, v, num_heads: int, out_dtype=jnp.float32, n_valid=None):
 
 
 def _kernel_tm(q_ref, k_ref, v_ref, out_ref, *, num_heads, head_dim, n_valid):
-    """Token-major variant: q/k/v (1, Np, D) stay in the layout the qkv
+    """Token-major variant: q/k/v (RB, Np, D) stay in the layout the qkv
     matmul produced; the per-head split is a static 64-lane VMEM-ref slice
     INSIDE the kernel instead of an XLA head-major transpose outside (the
     transposes measured ~2 ms/fwd as 48 'copy' ops at the flagship shape).
     Odd heads cost a lane rotation on load/store; even heads are tile-aligned.
+    RB batch rows share one program (per-program overhead x B measured larger
+    than the whole attention math at the flagship shape).
     """
-    Np = q_ref.shape[1]
+    RB, Np, _ = q_ref.shape
     scale = 1.0 / (head_dim ** 0.5)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, Np), dimension=1)
     neg = jnp.where(lane < n_valid, 0.0, -1e9).astype(jnp.float32)
 
-    for h in range(num_heads):
-        sl = pl.dslice(h * head_dim, head_dim)
-        q = q_ref[0, :, sl]  # (Np, hd)
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        scores = scores * scale + neg
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        out_ref[0, :, sl] = out.astype(out_ref.dtype)
+    for r in range(RB):
+        for h in range(num_heads):
+            sl = pl.dslice(h * head_dim, head_dim)
+            q = q_ref[r, :, sl]  # (Np, hd)
+            k = k_ref[r, :, sl]
+            v = v_ref[r, :, sl]
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            scores = scores * scale + neg
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            out_ref[r, :, sl] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "out_dtype", "n_valid"))
-def vit_attention_tm(q, k, v, num_heads: int, out_dtype=jnp.float32, n_valid=None):
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "out_dtype", "n_valid", "rows_per_program")
+)
+def vit_attention_tm(q, k, v, num_heads: int, out_dtype=jnp.float32, n_valid=None,
+                     rows_per_program: int = 4):
     """Token-major fused attention: (B, N, D) in, (B, N, D) out, no XLA
     transposes. Requires N already padded to the sublane tile (the DinoV3ViT
     whole-network pad). Parity: tests/test_ops.py::TestViTAttention."""
@@ -157,11 +163,14 @@ def vit_attention_tm(q, k, v, num_heads: int, out_dtype=jnp.float32, n_valid=Non
     n_valid = N if n_valid is None else n_valid
     sublane = 8 if q.dtype == jnp.float32 else 16
     assert N % sublane == 0, (N, sublane)
+    RB = rows_per_program
+    while B % RB:
+        RB -= 1
 
-    spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((RB, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel_tm, num_heads=num_heads, head_dim=hd, n_valid=n_valid),
-        grid=(B,),
+        grid=(B // RB,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, N, D), out_dtype),
