@@ -264,7 +264,13 @@ class PoseAgent:
                 rgb_feat,
                 pose_dim=self.cfg.model.pose_dim,
                 regression_head=self.cfg.model.regression_head,
-                uniform_t=False,  # measured slower on v5e: the (1, .) t-row ops break fusion
+                # uniform_t=False: measured slower on v5e when this XLA fast
+                # path WAS the fixed-grid sampler (the (1, .) t-row ops break
+                # fusion). Since the fused RK4 kernel (ops/ode_rk4.py) took
+                # over method='fixed', this closure only serves the adaptive
+                # RK45 / PC / likelihood paths, where step counts are dynamic
+                # and the t-row precompute cannot amortize — keep it off.
+                uniform_t=False,
                 compute_dtype=self.cfg.model.score_dtype,
             )
 
