@@ -1,13 +1,28 @@
 """Data/candidate-parallel scaling harness.
 
-Measures the eval pipeline (sample -> aggregate) at 1, 2, 4, 8 devices on
-whatever mesh is available (run with
-``JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8``
-for the virtual-mesh check, or on a real multi-chip slice). Prints one JSON
-line per device count with throughput and parallel efficiency.
+Reports what is actually MEANINGFUL on the current substrate:
+
+- **Compiled collective structure** per program: the count of each XLA
+  collective op (all-reduce / all-gather / reduce-scatter / collective-permute
+  / all-to-all) in the compiled HLO of (a) the data-parallel training step and
+  (b) the data x cand sharded eval pipeline. This is substrate-independent
+  evidence of how the sharded design communicates (SURVEY §2.8): grads ride
+  one all-reduce over 'data'; the candidate pipeline needs no cross-device
+  collectives beyond its output layout.
+- **Per-device-fixed-work step time** vs the 1-device baseline. On a real
+  multi-chip slice this is the weak-scaling overhead (ICI collectives +
+  imbalance). On the virtual CPU mesh (``JAX_PLATFORMS=cpu
+  XLA_FLAGS=--xla_force_host_platform_device_count=8``) all "devices" share
+  one host's cores, so the ratio measures the simulation substrate and is
+  labeled ``substrate_slowdown``, NOT efficiency — a parallel-efficiency
+  number cannot be produced on this substrate (it was reported as
+  "efficiency" through round 4; VERDICT r4 weak #3).
+
+Prints one JSON line per device count.
 """
 
 import json
+import re
 import time
 
 import jax
@@ -19,23 +34,47 @@ from genpose2_tpu.eval import aggregate_candidates
 from genpose2_tpu.parallel import make_mesh, replicate, shard_batch
 from genpose2_tpu.training import PoseAgent
 
+_COLLECTIVES = (
+    "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+    "all-to-all",
+)
+
+
+def collective_counts(compiled) -> dict:
+    """Count collective instructions in a compiled program's HLO text
+    (opcode position: ``%name = type op-name(...)``; async forms lower as
+    ``<op>-start``)."""
+    txt = compiled.as_text()
+    out = {}
+    for op in _COLLECTIVES:
+        n = len(re.findall(rf"\s{op}(?:-start)?\(", txt))
+        if n:
+            out[op] = n
+    return out
+
 
 def main(tiny: bool = None):
     n_dev = len(jax.devices())
     tiny = (jax.default_backend() == "cpu") if tiny is None else tiny
-    cfg = tiny_test_config() if tiny else default_config().replace(model=ModelConfig(dino="none"))
+    cfg = tiny_test_config() if tiny else default_config().replace(
+        model=ModelConfig(dino="none")
+    )
     B_per_dev = 4 if tiny else 16
     K = 8 if tiny else 50
     steps = 10 if tiny else 50
+    substrate = (
+        "cpu-virtual" if jax.default_backend() == "cpu" else jax.default_backend()
+    )
 
     agent = PoseAgent(cfg, "score")
     data = SyntheticPoseData(num_points=cfg.model.num_points)
     key = jax.random.PRNGKey(0)
 
-    base_tput = None
+    base_dt = None
     counts = [d for d in (1, 2, 4, 8) if d <= n_dev]
     for nd in counts:
-        mesh = make_mesh(data=nd, cand=1, devices=jax.devices()[:nd])
+        cand = 2 if nd >= 4 else 1
+        mesh = make_mesh(data=nd // cand, cand=cand, devices=jax.devices()[:nd])
         B = B_per_dev * nd
         batch = data.batch(key, B)
         batch = {k: batch[k] for k in ("pts", "zero_mean_gt_pose", "pts_center")}
@@ -43,36 +82,51 @@ def main(tiny: bool = None):
         state = replicate(state, mesh)
         sharded = shard_batch(batch, mesh)
 
-        f = jax.jit(
+        # (a) data-parallel train step: compiled collective structure only
+        train_f = jax.jit(lambda st, b, k: agent.train_step(st, b, k))
+        train_hlo = collective_counts(
+            train_f.lower(state, sharded, jax.random.PRNGKey(0)).compile()
+        )
+
+        # (b) data x cand eval pipeline: structure + fixed-per-device-work time
+        eval_f = jax.jit(
             lambda st, b, k: aggregate_candidates(
                 agent.sample_candidates(
-                    st, b, k, repeat_num=K, T0=0.55, method="fixed", num_steps=steps
+                    st, b, k, repeat_num=K, T0=0.55, method="fixed",
+                    num_steps=steps,
                 ),
                 None,
             )["translation"]
         )
-        out = f(state, sharded, jax.random.PRNGKey(99))
+        eval_c = eval_f.lower(state, sharded, jax.random.PRNGKey(99)).compile()
+        eval_hlo = collective_counts(eval_c)
+
+        out = eval_f(state, sharded, jax.random.PRNGKey(99))
         _ = float(out[0, 0])
         reps = 3
         s = time.perf_counter()
         for i in range(reps):
-            out = f(state, sharded, jax.random.PRNGKey(i))
+            out = eval_f(state, sharded, jax.random.PRNGKey(i))
             _ = float(out[0, 0])
         dt = (time.perf_counter() - s) / reps
-        tput = B * K / dt
-        if base_tput is None:
-            base_tput = tput
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_candidates_per_s",
-                    "devices": nd,
-                    "value": round(tput, 1),
-                    "unit": f"candidates/s (B={B}, K={K})",
-                    "efficiency": round(tput / (base_tput * nd), 3),
-                }
-            )
-        )
+        if base_dt is None:
+            base_dt = dt
+        row = {
+            "metric": "scaling_step_structure",
+            "devices": nd,
+            "mesh": {"data": nd // cand, "cand": cand},
+            "per_device_work": f"B={B_per_dev} x K={K} x {steps} ode steps",
+            "step_time_ms": round(dt * 1e3, 1),
+            "train_step_collectives": train_hlo,
+            "eval_pipeline_collectives": eval_hlo,
+        }
+        if substrate == "cpu-virtual":
+            # all virtual devices share one host: time ratio = simulator
+            # contention, NOT parallel efficiency (see module docstring)
+            row["substrate_slowdown_vs_1dev"] = round(dt / base_dt, 2)
+        else:
+            row["weak_scaling_overhead_vs_1dev"] = round(dt / base_dt, 2)
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -511,11 +511,52 @@ def fused_sa_stage(
     B, N, _ = projs[0].shape
     M = new_xyz.shape[1]
     num_layers = tuple(len(w) for w in weights_list)
+    for s in range(n_scales):
+        assert len(affines_list[s]) == num_layers[s] + 1, (
+            f"scale {s}: {len(affines_list[s])} affines for {num_layers[s]} layers"
+        )
     c_outs = [affines_list[s][-1][0].shape[0] for s in range(n_scales)]
     C_out = sum(c_outs)
 
     TM = min(row_tile, M)
     assert M % TM == 0 and (TM % 128 == 0 or TM == M), (M, TM)
+
+    # VMEM budget guard: the one-launch stage keeps every scale's (Np, h1_s)
+    # proj block plus its chunk temporaries resident at once. For configs much
+    # larger than the flagship shapes this can exceed the ~16 MB/core VMEM
+    # (relpe_attention sizes its tile the same way); estimate the footprint
+    # and fall back to the per-scale kernels (identical math, parity-tested)
+    # rather than fail in Mosaic.
+    Np_est = ((N + 127) // 128) * 128
+    est = (3 * Np_est + 3 * TM) * 4 + TM * C_out * 8  # coords + out (+scratch)
+    est += 6 * TM * Np_est * 4  # shared d2/lane/valid/maskf/rank/ranksel
+    transient = 0  # scales run sequentially; count the widest one
+    for s in range(n_scales):
+        h1 = projs[s].shape[-1]
+        sc = min(slot_chunk, nsamples[s])
+        widths = [h1] + [a[0].shape[0] for a in affines_list[s][1:]]
+        est += Np_est * h1 * projs[s].dtype.itemsize  # resident proj block
+        est += TM * h1 * 4  # center block
+        est += sum(w.size * w.dtype.itemsize for w in weights_list[s])
+        transient = max(
+            transient,
+            sc * TM * (Np_est * (4 + projs[s].dtype.itemsize)  # rank_t + onehot
+                       + 4 * max(widths) * 4),  # center/h_pad/g/h rows
+        )
+    est += transient
+    if est > 12 * 1024 * 1024:  # leave headroom under the 16 MB core VMEM
+        return jnp.concatenate(
+            [
+                fused_sa_scale(
+                    xyz, new_xyz, projs[s], center_projs[s], affines_list[s],
+                    weights_list[s], radii[s], nsamples[s], row_tile=row_tile,
+                    out_dtype=out_dtype, slot_chunk=slot_chunk,
+                    dynamic_skip=dynamic_skip,
+                )
+                for s in range(n_scales)
+            ],
+            axis=-1,
+        )
 
     n_valid = N
     Np = ((N + 127) // 128) * 128

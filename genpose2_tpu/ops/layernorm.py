@@ -45,9 +45,15 @@ def _row_tiles(B: int, N: int, row_tile: int = 512):
     directly (instead of one batch row per program) cuts the grid from B
     programs to ceil(B*N/TR) — per-program overhead was the dominant cost of
     the one-row-per-program form at the flagship shapes (B=64 programs of
-    ~5 us work each). Returns (TR, n_tiles, pad_rows)."""
+    ~5 us work each). TR is sized to the tile COUNT rather than fixed at
+    row_tile so the last tile never degenerates: a fixed TR=512 at
+    rows=520 would run two 512-row tiles (~2x padded work); here TR becomes
+    264 and the pad stays under 8 rows per tile. Returns
+    (TR, n_tiles, pad_rows)."""
     rows = B * N
-    TR = min(row_tile, rows)
+    n_tiles = (rows + row_tile - 1) // row_tile
+    TR = -(-((rows + n_tiles - 1) // n_tiles) // 8) * 8  # even split, 8-row sublane aligned
+    TR = min(TR, row_tile) if rows >= 8 else rows
     n_tiles = (rows + TR - 1) // TR
     return TR, n_tiles, n_tiles * TR - rows
 

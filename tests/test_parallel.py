@@ -86,6 +86,84 @@ class TestMesh:
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r8), atol=1e-5)
         np.testing.assert_allclose(np.asarray(t1), np.asarray(t8), atol=1e-5)
 
+    def test_sharded_tracking_steps_match_single_device(self, eight_devices):
+        """Two multiplexed tracking frame steps under the mesh: streams ride
+        the 'data' axis with per-stream pure-data state (SURVEY §2.8
+        video-parallel row; reference: runners/evaluation_tracking.py:110-216).
+        The sharded per-frame outputs and the propagated prev_pose must match
+        the single-device run."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from genpose2_tpu.eval.tracking import PoseTracker
+
+        cfg = tiny_test_config()
+        agent = PoseAgent(cfg, "score", steps_per_epoch=10)
+        data = SyntheticPoseData(num_points=cfg.model.num_points)
+        key = jax.random.PRNGKey(7)
+        B = 8
+        batch = data.batch(key, B)
+        state = agent.init_state(key, batch)
+        tracker = PoseTracker(cfg, agent, state, T0=0.4, num_steps=5)
+        frames = [data.batch(jax.random.PRNGKey(70 + i), B) for i in range(2)]
+        prev0 = tracker.init_from_pose(
+            frames[0]["gt_rotation"], frames[0]["gt_translation"]
+        )
+
+        def run(state_in, frames_in, prev):
+            outs = []
+            for i, fr in enumerate(frames_in):
+                tr = PoseTracker(cfg, agent, state_in, T0=0.4, num_steps=5)
+                o = tr.step(fr, prev, jax.random.PRNGKey(100 + i))
+                prev = o["prev_pose"]
+                outs.append(o)
+            return outs
+
+        outs1 = run(state, frames, prev0)
+
+        mesh = make_mesh(data=8, cand=1)
+        state_r = replicate(state, mesh)
+        frames_s = [shard_batch(fr, mesh) for fr in frames]
+        prev_s = jax.device_put(prev0, NamedSharding(mesh, P("data", None)))
+        outs8 = run(state_r, frames_s, prev_s)
+
+        for o1, o8 in zip(outs1, outs8):
+            for k in ("rotation", "translation", "lengths", "prev_pose"):
+                np.testing.assert_allclose(
+                    np.asarray(o1[k]), np.asarray(o8[k]), atol=5e-4, err_msg=k
+                )
+
+    def test_sharded_evaluator_stage_matches_single_device(self, eight_devices):
+        """One SingleFrameEvaluator stage pass (sample -> energy -> aggregate
+        -> scale -> criterion) sharded over 'data' equals the single-device
+        pass (reference staged pipeline: runners/evaluation_single.py:78-288)."""
+        from genpose2_tpu.eval.pipeline import SingleFrameEvaluator
+
+        cfg = tiny_test_config()
+        agent = PoseAgent(cfg, "score", steps_per_epoch=10)
+        energy_agent = PoseAgent(cfg, "energy", steps_per_epoch=10)
+        data = SyntheticPoseData(num_points=cfg.model.num_points)
+        key = jax.random.PRNGKey(11)
+        B = 8
+        batch = data.batch(key, B)
+        state = agent.init_state(key, batch)
+        estate = energy_agent.init_state(jax.random.PRNGKey(12), batch)
+
+        ev = SingleFrameEvaluator(cfg, agent, state, energy_agent, estate)
+        out1 = ev._run_one(batch, jax.random.PRNGKey(13))
+
+        mesh = make_mesh(data=8, cand=1)
+        ev8 = SingleFrameEvaluator(
+            cfg,
+            agent,
+            replicate(state, mesh),
+            energy_agent,
+            replicate(estate, mesh),
+        )
+        out8 = ev8._run_one(shard_batch(batch, mesh), jax.random.PRNGKey(13))
+
+        for k in ("rotation", "translation", "lengths", "iou", "deg", "sht"):
+            np.testing.assert_allclose(out1[k], out8[k], atol=5e-4, err_msg=k)
+
     def test_dryrun_entrypoint(self, eight_devices):
         import sys
 
@@ -113,7 +191,7 @@ class TestMultiHostTraining:
     must match the single-process run on the same 4 global devices
     (VERDICT r2 #5)."""
 
-    def _run(self, nproc, tmp_path):
+    def _run(self, nproc, tmp_path, mode="train"):
         import json
         import os
         import socket
@@ -137,6 +215,7 @@ class TestMultiHostTraining:
                 MH_PID=str(pid),
                 MH_COORD=f"127.0.0.1:{port}",
                 MH_LOGDIR=str(tmp_path / f"n{nproc}"),
+                MH_MODE=mode,
                 PYTHONPATH=os.path.dirname(os.path.dirname(__file__)),
             )
             procs.append(
@@ -173,4 +252,20 @@ class TestMultiHostTraining:
             # trajectory (float tolerance for reduction-order differences)
             assert abs(r["loss"] - single["loss"]) < 1e-4, (r, single)
             rel = abs(r["checksum"] - single["checksum"]) / max(single["checksum"], 1e-9)
+            assert rel < 1e-5, (r, single)
+
+    @pytest.mark.slow
+    def test_two_process_eval_tracking_matches_single(self, tmp_path):
+        """Eval batches and video streams partitioned across 2 processes,
+        global metrics assembled with process_allgather, must reproduce the
+        single-process numbers (SURVEY §2.8 video/stream parallel row;
+        reference global concat: runners/evaluation_tracking.py:334-384)."""
+        single = self._run(1, tmp_path, mode="eval")[0]
+        duo = self._run(2, tmp_path, mode="eval")
+        for r in duo:
+            for k in ("deg_mean", "sht_mean", "iou_mean"):
+                assert abs(r[k] - single[k]) < 1e-4, (k, r, single)
+            rel = abs(r["track_checksum"] - single["track_checksum"]) / max(
+                single["track_checksum"], 1e-9
+            )
             assert rel < 1e-5, (r, single)
