@@ -205,20 +205,43 @@ def rope_rotate(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarr
     return x * cos[None, :, None, :] + rot * sin[None, :, None, :]
 
 
+# Round-5 ViT pass-3 experiments, both measured NET-WORSE and kept off
+# (same-session A/B on v5e, profile_feat_split.py vit3-floor at the flagship
+# shape B=64, N=272; baseline = folded-RoPE qkv + XLA tail-residual/norm1
+# = 9.77 ms/forward):
+#
+# _INKERNEL_ROPE: apply rotate-half on the VMEM head blocks inside
+# vit_attention_tm so the qkv projection stays (D, 3D) instead of carrying
+# the folded rot(q)/rot(k) columns ((D, 5D), ~10% extra matmul FLOPs).
+# Measured 12.10 ms (+2.3): the per-head 32-lane rotate serializes with the
+# attention matmuls and costs far more than the projection columns it saves.
+_INKERNEL_ROPE = False
+
+# _DEFER_TAIL: defer each block's tail residual (x + gamma2*h) into the NEXT
+# block's norm1 via the fused add+LN kernel (cross-block fusion, one
+# elementwise pass + one XLA LN removed per block on paper). Measured
+# 10.43 ms (+0.7): XLA already fuses the tail add into the surrounding
+# elementwise/LN fusions, and the extra kernel boundary costs more than the
+# pass it saves — consistent with the round-4 finding that a standalone LN
+# kernel was net-worse than XLA's stats+apply split.
+_DEFER_TAIL = False
+
+
 class DinoV3Attention(nn.Module):
-    """RoPE'd MHA. ``sin``/``cos`` are FULL-length (N, hd) tables whose prefix
-    rows are the identity rotation (sin=0, cos=1) — rotating every token with
+    """RoPE'd MHA. ``sin``/``cos`` are FULL-length tables whose prefix rows
+    are the identity rotation (sin=0, cos=1) — rotating every token with
     identity on cls/storage rows is algebraically the reference's
     rotate-patches-only, without the prefix split/concat layout round trip.
 
-    The rotate-half permutation is FOLDED INTO THE PROJECTION WEIGHTS:
-    rope(q) = (x @ Wq) * cos + (x @ rot(Wq)) * sin, where rot permutes/negates
-    the kernel's output columns once per forward ((D, 2D) of weight traffic,
-    ~0.2% of the activation FLOPs). The activation-side rotate-half — a
-    32-lane swap relayout on the (B, N, 3D) qkv tensor that measured ~25% of
-    the ViT's non-attention time — disappears; RoPE becomes two pure
-    elementwise multiplies fused into the qkv matmul's epilogue. The param
-    tree keeps the exact nn.Dense(name='qkv') layout for checkpoint parity.
+    Main (token-major) path: the qkv projection stays (D, 3D) and RoPE is
+    applied INSIDE the attention kernel on the VMEM head blocks
+    (ops/vit_attention.py:vit_attention_tm) — no roped-q/k HBM round trips
+    and no extra projection columns. Fallback (unpadded N): the rotate-half
+    permutation is folded into the projection weights, rope(q) =
+    (x @ Wq) * cos + (x @ rot(Wq)) * sin, so RoPE is two elementwise
+    multiplies with no activation relayout (the (B, N, 3D) 32-lane swap
+    measured ~25% of the ViT's non-attention time). The param tree keeps the
+    exact nn.Dense(name='qkv') layout for checkpoint parity either way.
 
     The attention core runs in the fused VMEM kernel (ops/vit_attention.py);
     softmax is f32 either way (parity: tests/test_vit_weights.py)."""
@@ -239,40 +262,62 @@ class DinoV3Attention(nn.Module):
 
         kernel, bias = _DenseParams(D, 3 * D, name="qkv")()
 
-        def rot_cols(w):
-            # rotate-half on the OUTPUT columns, per head: col i <- -col(i+h2),
-            # col i+h2 <- col i  (matches rope_rotate's concat(-x2, x1))
-            wh = w.reshape(-1, H, hd)
-            out = jnp.concatenate([-wh[..., h2:], wh[..., :h2]], axis=-1)
-            return out.reshape(w.shape)
-
-        Wq, Wk = kernel[:, :D], kernel[:, D : 2 * D]
-        bq, bk = bias[:D], bias[D : 2 * D]
-        W5 = jnp.concatenate([kernel, rot_cols(Wq), rot_cols(Wk)], axis=1)
-        b5 = jnp.concatenate([bias, rot_cols(bq[None])[0], rot_cols(bk[None])[0]])
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            W5 = W5.astype(self.dtype)
-        out = (
-            jnp.dot(x, W5, preferred_element_type=jnp.float32) + b5
-        ).astype(dt)  # (B, N, 5D): [q | k | v | rot(q) | rot(k)]
-
-        # tables arrive tiled to (N, D) (per-head-identical lanes): RoPE is
-        # elementwise on (B, N, D) with no reshape/transpose
-        cosD = cos.astype(dt)[None]
-        sinD = sin.astype(dt)[None]
-        q = out[..., :D] * cosD + out[..., 3 * D : 4 * D] * sinD
-        k = out[..., D : 2 * D] * cosD + out[..., 4 * D : 5 * D] * sinD
-        v = out[..., 2 * D : 3 * D]
         sublane = 8 if dt == jnp.float32 else 16
-        if N % sublane == 0:
+        if _INKERNEL_ROPE and N % sublane == 0:
             # token axis already tile-padded (whole-network pad in DinoV3ViT):
-            # the token-major kernel needs no head-major transposes at all
+            # the token-major kernel needs no head-major transposes, and RoPE
+            # is applied INSIDE the kernel on the VMEM head blocks — the
+            # projection stays (D, 3D) (the folded rot(q)/rot(k) columns were
+            # 2D of 5D = ~10% of the block's matmul FLOPs) and the roped q/k
+            # never round-trip HBM as separate elementwise passes
             from genpose2_tpu.ops.vit_attention import vit_attention_tm
 
-            att = vit_attention_tm(q, k, v, H, n_valid=n_valid)
+            W3, b3 = kernel, bias
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                W3 = W3.astype(self.dtype)
+            out = (
+                jnp.dot(x, W3, preferred_element_type=jnp.float32) + b3
+            ).astype(dt)  # (B, N, 3D): [q | k | v]
+            att = vit_attention_tm(
+                out[..., :D], out[..., D : 2 * D], out[..., 2 * D :], H,
+                n_valid=n_valid, sin=sin[:, :hd], cos=cos[:, :hd],
+            )
         else:
-            att = vit_attention(q, k, v, H, n_valid=n_valid)
+            # fallback (unpadded token axis): fold the rotate-half permutation
+            # into the projection weights — rope(q) = (x@Wq)*cos + (x@rot(Wq))
+            # *sin — so RoPE is two elementwise multiplies, no relayout
+            def rot_cols(w):
+                # rotate-half on the OUTPUT columns, per head: col i <-
+                # -col(i+h2), col i+h2 <- col i (rope_rotate's concat(-x2, x1))
+                wh = w.reshape(-1, H, hd)
+                out = jnp.concatenate([-wh[..., h2:], wh[..., :h2]], axis=-1)
+                return out.reshape(w.shape)
+
+            Wq, Wk = kernel[:, :D], kernel[:, D : 2 * D]
+            bq, bk = bias[:D], bias[D : 2 * D]
+            W5 = jnp.concatenate([kernel, rot_cols(Wq), rot_cols(Wk)], axis=1)
+            b5 = jnp.concatenate([bias, rot_cols(bq[None])[0], rot_cols(bk[None])[0]])
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                W5 = W5.astype(self.dtype)
+            out = (
+                jnp.dot(x, W5, preferred_element_type=jnp.float32) + b5
+            ).astype(dt)  # (B, N, 5D): [q | k | v | rot(q) | rot(k)]
+
+            # tables arrive tiled to (N, D) (per-head-identical lanes): RoPE
+            # is elementwise on (B, N, D) with no reshape/transpose
+            cosD = cos.astype(dt)[None]
+            sinD = sin.astype(dt)[None]
+            q = out[..., :D] * cosD + out[..., 3 * D : 4 * D] * sinD
+            k = out[..., D : 2 * D] * cosD + out[..., 4 * D : 5 * D] * sinD
+            v = out[..., 2 * D : 3 * D]
+            if N % sublane == 0:
+                from genpose2_tpu.ops.vit_attention import vit_attention_tm
+
+                att = vit_attention_tm(q, k, v, H, n_valid=n_valid)
+            else:
+                att = vit_attention(q, k, v, H, n_valid=n_valid)
         return nn.Dense(D, name="proj", dtype=self.dtype)(att.astype(dt))
 
 
@@ -316,14 +361,41 @@ class DinoV3Block(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, sin, cos, n_valid: Optional[int] = None):
+    def __call__(self, x, sin, cos, n_valid: Optional[int] = None, pending=None):
         # The residual stream runs in the compute dtype (bf16 in the frozen
         # eval config): halves every elementwise HBM round trip. LayerNorm
         # statistics stay f32 either way; on the bf16 stream the mid-block
         # residual-add + LN2 run as ONE Pallas kernel (a standalone LN kernel
         # measured net-worse — it broke the surrounding XLA fusions).
+        #
+        # On the compute-dtype path the block's TAIL residual (x + gamma2*h)
+        # is DEFERRED: the block returns (x, (h, gamma2)) and the NEXT block
+        # folds it into its own norm1 via the same fused add+LN kernel —
+        # cross-block fusion that removes one elementwise pass + one XLA LN
+        # per block. ``pending`` is the previous block's deferred pair; the
+        # caller (DinoV3ViT) materializes the sum where a full token tensor
+        # is needed (intermediate taps, final norm).
         dt = self.dtype or jnp.float32
-        h = nn.LayerNorm(name="norm1", dtype=jnp.float32)(x)
+        if self.dtype is not None and _DEFER_TAIL:
+            from genpose2_tpu.ops.layernorm import fast_add_layernorm
+
+            s1, b1 = _LNParams(self.dim, name="norm1")()
+            if pending is None:
+                # first block: no deferred residual — plain LN via the same
+                # kernel with a zero h (one extra VMEM read of zeros is
+                # cheaper than a separate XLA LN program shape)
+                from genpose2_tpu.ops.layernorm import fast_layernorm
+
+                h = fast_layernorm(x.astype(dt), s1, b1, out_dtype=dt)
+            else:
+                h_prev, gamma_prev = pending
+                x, h = fast_add_layernorm(
+                    x.astype(dt), h_prev.astype(dt), gamma_prev, s1, b1,
+                    out_dtype=dt,
+                )
+        else:
+            assert pending is None
+            h = nn.LayerNorm(name="norm1", dtype=jnp.float32)(x)
         h = DinoV3Attention(self.dim, self.num_heads, name="attn", dtype=self.dtype)(
             h, sin, cos, n_valid
         )
@@ -367,7 +439,9 @@ class DinoV3Block(nn.Module):
         gamma2 = self.param(
             "ls2", nn.initializers.constant(self.layer_scale_init), (self.dim,)
         )
-        return x + (h * gamma2).astype(dt)
+        if self.dtype is not None and _DEFER_TAIL:
+            return x, (h, gamma2)  # tail deferred into the next block's norm1
+        return x + (h * gamma2).astype(dt), None
 
 
 class DinoV3ViT(nn.Module):
@@ -454,20 +528,30 @@ class DinoV3ViT(nn.Module):
 
         final_norm = nn.LayerNorm(name="norm")
         outputs = []
+        pending = None  # previous block's deferred (h, gamma2) tail residual
+
+        def materialize(tok, pend):
+            if pend is None:
+                return tok
+            h, g = pend
+            return tok + (h * g).astype(tok.dtype)
+
         for i in range(self.depth):
-            tokens = DinoV3Block(
+            tokens, pending = DinoV3Block(
                 self.dim,
                 self.num_heads,
                 self.ffn_hidden,
                 self.ffn_layer,
                 name=f"block_{i}",
                 dtype=self.dtype,
-            )(tokens, sin, cos, n_valid)
+            )(tokens, sin, cos, n_valid, pending)
             if i in intermediate:
-                t = final_norm(tokens) if norm else tokens
+                full = materialize(tokens, pending)
+                t = final_norm(full) if norm else full
                 outputs.append(t[:, num_prefix:N])
         if intermediate:
             return outputs
+        tokens = materialize(tokens, pending)
         if return_class_token:
             return final_norm(tokens)[:, 0]
         return final_norm(tokens)[:, num_prefix:N]

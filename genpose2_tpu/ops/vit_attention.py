@@ -118,7 +118,7 @@ def vit_attention(q, k, v, num_heads: int, out_dtype=jnp.float32, n_valid=None):
     return out.reshape(B, N, D)
 
 
-def _kernel_tm(q_ref, k_ref, v_ref, out_ref, *, num_heads, head_dim, n_valid):
+def _kernel_tm(*refs, num_heads, head_dim, n_valid, rope):
     """Token-major variant: q/k/v (RB, Np, D) stay in the layout the qkv
     matmul produced; the per-head split is a static 64-lane VMEM-ref slice
     INSIDE the kernel instead of an XLA head-major transpose outside (the
@@ -126,11 +126,29 @@ def _kernel_tm(q_ref, k_ref, v_ref, out_ref, *, num_heads, head_dim, n_valid):
     Odd heads cost a lane rotation on load/store; even heads are tile-aligned.
     RB batch rows share one program (per-program overhead x B measured larger
     than the whole attention math at the flagship shape).
+
+    With ``rope``, sin/cos (Np, hd) refs follow v and RoPE is applied to the
+    q/k head blocks HERE, in VMEM: the rotate-half is a 32-lane half-swap on
+    a (Np, hd) block — this removes the folded rot(q)/rot(k) projection
+    columns (2D of 5D, ~10% of the block's matmul FLOPs) and the two
+    (B, N, D) elementwise passes that built roped q/k through HBM.
     """
+    if rope:
+        q_ref, k_ref, v_ref, sin_ref, cos_ref, out_ref = refs
+        sin = sin_ref[...]  # (Np, hd) f32
+        cos = cos_ref[...]
+    else:
+        q_ref, k_ref, v_ref, out_ref = refs
     RB, Np, _ = q_ref.shape
     scale = 1.0 / (head_dim ** 0.5)
+    h2 = head_dim // 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, Np), dimension=1)
     neg = jnp.where(lane < n_valid, 0.0, -1e9).astype(jnp.float32)
+
+    def roped(x):
+        xf = x.astype(jnp.float32)
+        rot = jnp.concatenate([-xf[:, h2:], xf[:, :h2]], axis=1)
+        return (xf * cos + rot * sin).astype(x.dtype)
 
     for r in range(RB):
         for h in range(num_heads):
@@ -138,6 +156,9 @@ def _kernel_tm(q_ref, k_ref, v_ref, out_ref, *, num_heads, head_dim, n_valid):
             q = q_ref[r, :, sl]  # (Np, hd)
             k = k_ref[r, :, sl]
             v = v_ref[r, :, sl]
+            if rope:
+                q = roped(q)
+                k = roped(k)
             scores = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -153,10 +174,12 @@ def _kernel_tm(q_ref, k_ref, v_ref, out_ref, *, num_heads, head_dim, n_valid):
     jax.jit, static_argnames=("num_heads", "out_dtype", "n_valid", "rows_per_program")
 )
 def vit_attention_tm(q, k, v, num_heads: int, out_dtype=jnp.float32, n_valid=None,
-                     rows_per_program: int = 4):
+                     rows_per_program: int = 4, sin=None, cos=None):
     """Token-major fused attention: (B, N, D) in, (B, N, D) out, no XLA
     transposes. Requires N already padded to the sublane tile (the DinoV3ViT
-    whole-network pad). Parity: tests/test_ops.py::TestViTAttention."""
+    whole-network pad). Optional ``sin``/``cos`` (N, head_dim) apply RoPE to
+    q/k inside the kernel (identical for every head — DINOv3 convention).
+    Parity: tests/test_ops.py::TestViTAttention."""
     B, N, D = q.shape
     assert D % num_heads == 0
     hd = D // num_heads
@@ -166,16 +189,28 @@ def vit_attention_tm(q, k, v, num_heads: int, out_dtype=jnp.float32, n_valid=Non
     RB = rows_per_program
     while B % RB:
         RB -= 1
+    rope = sin is not None
 
     spec = pl.BlockSpec((RB, N, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [spec, spec, spec]
+    ins = [q, k, v]
+    if rope:
+        tab_spec = pl.BlockSpec(
+            (N, hd), lambda b: (0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [tab_spec, tab_spec]
+        ins += [sin.astype(jnp.float32), cos.astype(jnp.float32)]
     return pl.pallas_call(
-        functools.partial(_kernel_tm, num_heads=num_heads, head_dim=hd, n_valid=n_valid),
+        functools.partial(
+            _kernel_tm, num_heads=num_heads, head_dim=hd, n_valid=n_valid,
+            rope=rope,
+        ),
         grid=(B // RB,),
-        in_specs=[spec, spec, spec],
+        in_specs=in_specs,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, N, D), out_dtype),
         interpret=jax.default_backend() != "tpu",
-    )(q, k, v)
+    )(*ins)
 
 
 def vit_attention_reference(q, k, v, num_heads: int):

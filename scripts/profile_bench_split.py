@@ -67,23 +67,30 @@ def main():
                 b["pts"] = batch["pts"] + eps
                 b["roi_rgb"] = batch["roi_rgb"] + eps
                 b = agent.with_image_features(state, b)
+                # every truncated variant reduces its FULL output with
+                # jnp.sum: consuming a scalar element lets XLA slice the tail
+                # of the stage away (e.g. dino_layers[0][0,0,0] kept only
+                # blocks 0-2 of the ViT — measured 3.97 "ms/iter" vs the real
+                # ~9.8; see profile_feat_split.py and the axon notes)
                 if upto == "vit":
-                    return b["dino_layers"][0][0, 0, 0], None
+                    return sum(
+                        jnp.sum(o.astype(jnp.float32)) for o in b["dino_layers"]
+                    ) * 1e-9, None
                 feats = agent.extract_features(state, b)
                 if upto == "feat":
-                    return feats[0][0, 0], None
+                    return jnp.sum(feats[0].astype(jnp.float32)) * 1e-9, None
                 poses = agent.sample_candidates(
                     state, b, keyk, repeat_num=K, T0=0.55, method="fixed",
                     num_steps=50, features=feats,
                 )
                 if upto == "ode":
-                    return poses[0, 0, 0], None
+                    return jnp.sum(poses) * 1e-9, None
                 agg = aggregate_candidates(
                     poses, None, retain_ratio=cfg.eval.retain_ratio,
                     clustering=cfg.eval.clustering, eps=cfg.eval.clustering_eps,
                     minpts_ratio=cfg.eval.clustering_minpts_ratio,
                 )
-                return agg["translation"][0, 0], None
+                return jnp.sum(agg["translation"]), None
 
             carry, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(REPS))
             return carry
