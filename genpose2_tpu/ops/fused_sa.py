@@ -357,7 +357,7 @@ def fused_sa_scale(
 
 
 def _sa_stage_kernel(*refs, radii, nsamples, n_valid, num_layers, slot_chunk,
-                     dynamic_skip):
+                     dynamic_skip, row_batch=1):
     """All MSG scales of one SA stage in a single program.
 
     The two (or more) scales of an MSG stage share the same xyz/new_xyz, so
@@ -386,91 +386,97 @@ def _sa_stage_kernel(*refs, radii, nsamples, n_valid, num_layers, slot_chunk,
     out_ref = refs[pos]
     accs = refs[pos + 1 :] if dynamic_skip else None
 
-    x = x_ref[0]  # (1, N)
-    y = y_ref[0]
-    z = z_ref[0]
-    cx = cx_ref[0].reshape(-1, 1)  # (TM, 1)
-    cy = cy_ref[0].reshape(-1, 1)
-    cz = cz_ref[0].reshape(-1, 1)
-    TM = cx.shape[0]
-    N = x.shape[1]
+    # row_batch > 1 packs several batch rows into one program (small
+    # stages: M == TM makes the grid B programs of little work each, and
+    # per-program overhead rivals the math). Rows run sequentially so the
+    # live plane set stays per-row; scratch-based dynamic_skip requires
+    # row_batch == 1 (asserted by the caller).
+    for r in range(row_batch):
+        x = x_ref[r]  # (1, N)
+        y = y_ref[r]
+        z = z_ref[r]
+        cx = cx_ref[r].reshape(-1, 1)  # (TM, 1)
+        cy = cy_ref[r].reshape(-1, 1)
+        cz = cz_ref[r].reshape(-1, 1)
+        TM = cx.shape[0]
+        N = x.shape[1]
 
-    d2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2  # (TM, N), shared
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TM, N), dimension=1)
-    valid = lane < n_valid
+        d2 = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2  # (TM, N), shared
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TM, N), dimension=1)
+        valid = lane < n_valid
 
-    outs = []
-    for s, (proj_ref, center_ref, wa) in enumerate(scales):
-        proj = proj_ref[0]  # (N, h1_s)
-        center = center_ref[0].astype(jnp.float32)  # (TM, h1_s)
-        radius = radii[s]
-        ns = nsamples[s]
+        outs = []
+        for s, (proj_ref, center_ref, wa) in enumerate(scales):
+            proj = proj_ref[r]  # (N, h1_s)
+            center = center_ref[r].astype(jnp.float32)  # (TM, h1_s)
+            radius = radii[s]
+            ns = nsamples[s]
 
-        a0 = wa[0][:]
-        c0 = wa[1][:]
-        layers = [
-            (wa[2 + 3 * li][:], wa[3 + 3 * li][:], wa[4 + 3 * li][:])
-            for li in range(num_layers[s])
-        ]
+            a0 = wa[0][:]
+            c0 = wa[1][:]
+            layers = [
+                (wa[2 + 3 * li][:], wa[3 + 3 * li][:], wa[4 + 3 * li][:])
+                for li in range(num_layers[s])
+            ]
 
-        maskf = ((d2 < radius * radius) & valid).astype(jnp.float32)
-        rank = blocked_prefix_rank(maskf)
-        ranksel = (rank * maskf).astype(jnp.int32)
-        cnt = rank[:, -1:].astype(jnp.int32)
+            maskf = ((d2 < radius * radius) & valid).astype(jnp.float32)
+            rank = blocked_prefix_rank(maskf)
+            ranksel = (rank * maskf).astype(jnp.int32)
+            cnt = rank[:, -1:].astype(jnp.int32)
 
-        def mlp(h, ctr, a0=a0, c0=c0, layers=layers):
-            h = jnp.maximum((h - ctr) * a0 + c0, 0.0)
-            for W, a, c in layers:
-                z_ = jnp.dot(h.astype(W.dtype), W, preferred_element_type=jnp.float32)
-                h = jnp.maximum(z_ * a + c, 0.0)
-            return h
+            def mlp(h, ctr, a0=a0, c0=c0, layers=layers):
+                h = jnp.maximum((h - ctr) * a0 + c0, 0.0)
+                for W, a, c in layers:
+                    z_ = jnp.dot(h.astype(W.dtype), W, preferred_element_type=jnp.float32)
+                    h = jnp.maximum(z_ * a + c, 0.0)
+                return h
 
-        g_first = jnp.dot(
-            (ranksel == 1).astype(proj.dtype), proj, preferred_element_type=jnp.float32
-        )
-        g_pad = jnp.where(cnt > 0, g_first, proj[0:1].astype(jnp.float32))
-        h_pad = mlp(g_pad, center)
+            g_first = jnp.dot(
+                (ranksel == 1).astype(proj.dtype), proj, preferred_element_type=jnp.float32
+            )
+            g_pad = jnp.where(cnt > 0, g_first, proj[0:1].astype(jnp.float32))
+            h_pad = mlp(g_pad, center)
 
-        SC = min(slot_chunk, ns)
-        while ns % SC:
-            SC -= 1
-        rank_t = jnp.concatenate([ranksel] * SC, axis=0)  # (SC*TM, N)
-        center_t = jnp.concatenate([center] * SC, axis=0)
-        cnt_t = jnp.concatenate([cnt] * SC, axis=0)
-        h_pad_t = jnp.concatenate([h_pad] * SC, axis=0)
-        srow = jax.lax.broadcasted_iota(jnp.int32, (SC * TM, 1), 0) // TM
+            SC = min(slot_chunk, ns)
+            while ns % SC:
+                SC -= 1
+            rank_t = jnp.concatenate([ranksel] * SC, axis=0)  # (SC*TM, N)
+            center_t = jnp.concatenate([center] * SC, axis=0)
+            cnt_t = jnp.concatenate([cnt] * SC, axis=0)
+            h_pad_t = jnp.concatenate([h_pad] * SC, axis=0)
+            srow = jax.lax.broadcasted_iota(jnp.int32, (SC * TM, 1), 0) // TM
 
-        def chunk_val(ci, acc, proj=proj, rank_t=rank_t, center_t=center_t,
-                      cnt_t=cnt_t, h_pad_t=h_pad_t, srow=srow, SC=SC, mlp=mlp):
-            svals = srow + (ci * SC + 1)
-            onehot = (rank_t == svals).astype(proj.dtype)
-            g = jnp.dot(onehot, proj, preferred_element_type=jnp.float32)
-            h = mlp(g, center_t)
-            h = jnp.where(cnt_t > svals - 1, h, h_pad_t)
-            chunk_max = jnp.max(h.reshape(SC, TM, -1), axis=0)
-            return jnp.maximum(acc, chunk_max)
+            def chunk_val(ci, acc, proj=proj, rank_t=rank_t, center_t=center_t,
+                          cnt_t=cnt_t, h_pad_t=h_pad_t, srow=srow, SC=SC, mlp=mlp):
+                svals = srow + (ci * SC + 1)
+                onehot = (rank_t == svals).astype(proj.dtype)
+                g = jnp.dot(onehot, proj, preferred_element_type=jnp.float32)
+                h = mlp(g, center_t)
+                h = jnp.where(cnt_t > svals - 1, h, h_pad_t)
+                chunk_max = jnp.max(h.reshape(SC, TM, -1), axis=0)
+                return jnp.maximum(acc, chunk_max)
 
-        if not dynamic_skip:
-            acc = h_pad
-            for ci in range(ns // SC):
-                acc = chunk_val(ci, acc)
-            outs.append(acc)
-        else:
-            # same runtime chunk skip as _sa_scale_kernel, accumulating in a
-            # per-scale f32 VMEM scratch (predicated blocks must write refs)
-            accs[s][...] = h_pad
-            cnt_max = jnp.max(cnt)
-            for ci in range(ns // SC):
+            if not dynamic_skip:
+                acc = h_pad
+                for ci in range(ns // SC):
+                    acc = chunk_val(ci, acc)
+                outs.append(acc)
+            else:
+                # same runtime chunk skip as _sa_scale_kernel, accumulating in a
+                # per-scale f32 VMEM scratch (predicated blocks must write refs)
+                accs[s][...] = h_pad
+                cnt_max = jnp.max(cnt)
+                for ci in range(ns // SC):
 
-                @pl.when(ci * SC < cnt_max)
-                def _(ci=ci, s=s, chunk_val=chunk_val):
-                    accs[s][...] = chunk_val(ci, accs[s][...])
+                    @pl.when(ci * SC < cnt_max)
+                    def _(ci=ci, s=s, chunk_val=chunk_val):
+                        accs[s][...] = chunk_val(ci, accs[s][...])
 
-            outs.append(None)
+                outs.append(None)
 
-    if dynamic_skip:
-        outs = [accs[s][...] for s in range(n_scales)]
-    out_ref[0] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
+        if dynamic_skip:
+            outs = [accs[s][...] for s in range(n_scales)]
+        out_ref[r] = jnp.concatenate(outs, axis=-1).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -564,24 +570,37 @@ def fused_sa_stage(
         xyz = jnp.pad(xyz, ((0, 0), (0, Np - N), (0, 0)), constant_values=1e9)
         projs = [jnp.pad(p, ((0, 0), (0, Np - N), (0, 0))) for p in projs]
 
+    # small-stage row batching: without the scratch-based dynamic skip,
+    # several batch rows share one program (sequential rows, shared weights);
+    # at the flagship stages 1-3 this cuts the grid 2-4x where per-program
+    # overhead rivaled the per-row math. Bounded by the same VMEM budget
+    # (resident inputs scale with RB; per-row transients do not).
+    RB = 1
+    if not dynamic_skip:
+        resident = est - transient
+        for cand_rb in (4, 2):
+            if B % cand_rb == 0 and resident * cand_rb + transient <= 12 * 1024 * 1024:
+                RB = cand_rb
+                break
+
     xyz = jax.lax.stop_gradient(xyz).astype(jnp.float32)
     new_xyz = jax.lax.stop_gradient(new_xyz).astype(jnp.float32)
     coord_ins = [xyz[..., i][:, None, :] for i in range(3)]  # (B, 1, Np)
     coord_ins += [new_xyz[..., i][:, None, :] for i in range(3)]  # (B, 1, M)
 
-    pts_spec = pl.BlockSpec((1, 1, Np), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
-    ctr_spec = pl.BlockSpec((1, 1, TM), lambda b, m: (b, 0, m), memory_space=pltpu.VMEM)
+    pts_spec = pl.BlockSpec((RB, 1, Np), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
+    ctr_spec = pl.BlockSpec((RB, 1, TM), lambda b, m: (b, 0, m), memory_space=pltpu.VMEM)
     ins = list(coord_ins)
     in_specs = [pts_spec, pts_spec, pts_spec, ctr_spec, ctr_spec, ctr_spec]
     for s in range(n_scales):
         h1 = projs[s].shape[-1]
         ins.append(projs[s])
         in_specs.append(
-            pl.BlockSpec((1, Np, h1), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((RB, Np, h1), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
         )
         ins.append(center_projs[s])
         in_specs.append(
-            pl.BlockSpec((1, TM, h1), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((RB, TM, h1), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM)
         )
         wa = [
             affines_list[s][0][0].reshape(1, -1).astype(jnp.float32),
@@ -606,6 +625,7 @@ def fused_sa_stage(
         num_layers=num_layers,
         slot_chunk=slot_chunk,
         dynamic_skip=dynamic_skip,
+        row_batch=RB,
     )
     scratch_shapes = (
         [pltpu.VMEM((TM, c), jnp.float32) for c in c_outs] if dynamic_skip else []
@@ -613,10 +633,10 @@ def fused_sa_stage(
 
     return pl.pallas_call(
         kernel,
-        grid=(B, M // TM),
+        grid=(B // RB, M // TM),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, TM, C_out), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
+            (RB, TM, C_out), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, M, C_out), out_dtype),
         scratch_shapes=scratch_shapes,
