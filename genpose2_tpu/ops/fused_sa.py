@@ -570,18 +570,13 @@ def fused_sa_stage(
         xyz = jnp.pad(xyz, ((0, 0), (0, Np - N), (0, 0)), constant_values=1e9)
         projs = [jnp.pad(p, ((0, 0), (0, Np - N), (0, 0))) for p in projs]
 
-    # small-stage row batching: without the scratch-based dynamic skip,
-    # several batch rows share one program (sequential rows, shared weights);
-    # at the flagship stages 1-3 this cuts the grid 2-4x where per-program
-    # overhead rivaled the per-row math. Bounded by the same VMEM budget
-    # (resident inputs scale with RB; per-row transients do not).
+    # Small-stage row batching (kernel supports row_batch > 1) is DISABLED:
+    # measured on v5e, Mosaic does NOT serialize the unrolled row loop's
+    # temporaries — RB=2 at the flagship stage 3 allocated 28.11M of scoped
+    # VMEM (vs 16M limit; the resident+single-row-transient model predicted
+    # ~9M), i.e. the chunk temporaries of both rows are live at once and the
+    # grid saving cannot be bought within the VMEM budget at these shapes.
     RB = 1
-    if not dynamic_skip:
-        resident = est - transient
-        for cand_rb in (4, 2):
-            if B % cand_rb == 0 and resident * cand_rb + transient <= 12 * 1024 * 1024:
-                RB = cand_rb
-                break
 
     xyz = jax.lax.stop_gradient(xyz).astype(jnp.float32)
     new_xyz = jax.lax.stop_gradient(new_xyz).astype(jnp.float32)
