@@ -189,9 +189,10 @@ def relpe_attention(xyz, q, k, v, pe_params, num_heads: int,
     ]
 
     # batch-row blocking: halves the program count (the per-program overhead
-    # at TQ=64 measured ~30% of stage 0); rows run sequentially inside the
-    # kernel so the live (TQ, M) plane set is per-row, only the resident
-    # q/k/v/coord blocks scale with RB
+    # at TQ=64 measured ~30% of stage 0). RB is capped at 2: Mosaic keeps
+    # the unrolled rows' transient planes live (~2.3 MB/row here), and RB=4
+    # measured 19.75M scoped VMEM at the flagship stage-0 shape (16M limit,
+    # Mosaic compile OOM); RB=2 fits and won ~0.7 ms on the rel-PE stage.
     RB = 2 if B % 2 == 0 else 1
     grid = (B // RB, Mp // TQ)
     qrow_spec = pl.BlockSpec((RB, TQ, 1), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM)
