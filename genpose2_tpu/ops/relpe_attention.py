@@ -189,11 +189,13 @@ def relpe_attention(xyz, q, k, v, pe_params, num_heads: int,
     ]
 
     # batch-row blocking: halves the program count (the per-program overhead
-    # at TQ=64 measured ~30% of stage 0). RB is capped at 2: Mosaic keeps
-    # the unrolled rows' transient planes live (~2.3 MB/row here), and RB=4
-    # measured 19.75M scoped VMEM at the flagship stage-0 shape (16M limit,
-    # Mosaic compile OOM); RB=2 fits and won ~0.7 ms on the rel-PE stage.
-    RB = 2 if B % 2 == 0 else 1
+    # at TQ=64 measured ~30% of stage 0). Mosaic keeps the unrolled rows'
+    # transient planes live, so RB multiplies the per-row scoped-VMEM cost.
+    # Measured on v5e (16M scoped limit): bf16 flagship stages compile at
+    # RB=2 and win ~0.7 ms (RB=4 hits 19.75M, compile OOM); the f32 path at
+    # (Mp=512, D=32) already hits 18.38M at RB=2
+    # (scripts/verify_relpe_tpu.py) — f32 keeps the per-program form.
+    RB = 2 if (B % 2 == 0 and cdt == jnp.bfloat16) else 1
     grid = (B // RB, Mp // TQ)
     qrow_spec = pl.BlockSpec((RB, TQ, 1), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM)
     krow_spec = pl.BlockSpec((RB, 1, Mp), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)

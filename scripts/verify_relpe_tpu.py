@@ -6,8 +6,10 @@ the remote compile helper). This script lowers + compiles + executes the
 kernel at the flagship stage-0 shape (B=64, M=512, H=8, D=32) on the real
 chip and prints PASS/FAIL.
 
-Recorded result (2026-08-20, v5e via axon): PASS — compiles and executes;
-see PROGRESS notes / commit message of the run that updated this file.
+Recorded result (2026-08-21, v5e via axon): PASS — compiles and executes
+with the f32 per-program (RB=1) form; this f32 shape at RB=2 measured
+18.38M scoped VMEM (16M limit), which is why row batching is gated to the
+bf16 compute path in relpe_attention.
 """
 
 import sys
