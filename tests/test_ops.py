@@ -394,6 +394,17 @@ class TestRelPEAttention:
         got = attn @ p["wo"]["kernel"] + p["wo"]["bias"]
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
+        # bf16 compute takes the row-batched (RB=2) kernel form — the
+        # production flagship path (f32 keeps RB=1 for scoped-VMEM reasons,
+        # see relpe_attention.py); same math within bf16 tolerance
+        attn16 = relpe_attention(
+            xyz, q, k, v, pe_vars["params"], H, compute_dtype="bfloat16"
+        )
+        got16 = attn16 @ p["wo"]["kernel"] + p["wo"]["bias"]
+        np.testing.assert_allclose(
+            np.asarray(got16), np.asarray(want), rtol=2e-2, atol=2e-2
+        )
+
 
 class TestDynamicSkip:
     """The production eval path (N >= 1024) runs fused_sa_scale with
