@@ -88,25 +88,39 @@ def main(tiny: bool = None):
             train_f.lower(state, sharded, jax.random.PRNGKey(0)).compile()
         )
 
-        # (b) data x cand eval pipeline: structure + fixed-per-device-work time
-        eval_f = jax.jit(
-            lambda st, b, k: aggregate_candidates(
-                agent.sample_candidates(
-                    st, b, k, repeat_num=K, T0=0.55, method="fixed",
-                    num_steps=steps,
-                ),
-                None,
-            )["translation"]
+        # (b) data x cand eval pipeline: structure + fixed-per-device-work
+        # time. The candidate axis is sharded EXPLICITLY (constraint on the
+        # (B, K, 9) candidates, as __graft_entry__.dryrun_multichip does) —
+        # without it GSPMD replicates the whole pipeline across the cand
+        # pairs and the per-device-work bookkeeping would be wrong.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cand_sharding = NamedSharding(mesh, P("data", "cand"))
+
+        def eval_fn(st, b, k):
+            poses = agent.sample_candidates(
+                st, b, k, repeat_num=K, T0=0.55, method="fixed",
+                num_steps=steps,
+            )
+            poses = jax.lax.with_sharding_constraint(poses, cand_sharding)
+            return aggregate_candidates(poses, None)["translation"]
+
+        eval_c = (
+            jax.jit(eval_fn)
+            .lower(state, sharded, jax.random.PRNGKey(99))
+            .compile()
         )
-        eval_c = eval_f.lower(state, sharded, jax.random.PRNGKey(99)).compile()
         eval_hlo = collective_counts(eval_c)
 
-        out = eval_f(state, sharded, jax.random.PRNGKey(99))
+        # reuse the explicitly-compiled executable: re-calling the jit
+        # wrapper would trace+compile the pipeline a second time (minutes
+        # per device count on a real slice)
+        out = eval_c(state, sharded, jax.random.PRNGKey(99))
         _ = float(out[0, 0])
         reps = 3
         s = time.perf_counter()
         for i in range(reps):
-            out = eval_f(state, sharded, jax.random.PRNGKey(i))
+            out = eval_c(state, sharded, jax.random.PRNGKey(i))
             _ = float(out[0, 0])
         dt = (time.perf_counter() - s) / reps
         if base_dt is None:

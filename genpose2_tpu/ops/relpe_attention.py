@@ -194,8 +194,17 @@ def relpe_attention(xyz, q, k, v, pe_params, num_heads: int,
     # Measured on v5e (16M scoped limit): bf16 flagship stages compile at
     # RB=2 and win ~0.7 ms (RB=4 hits 19.75M, compile OOM); the f32 path at
     # (Mp=512, D=32) already hits 18.38M at RB=2
-    # (scripts/verify_relpe_tpu.py) — f32 keeps the per-program form.
-    RB = 2 if (B % 2 == 0 and cdt == jnp.bfloat16) else 1
+    # (scripts/verify_relpe_tpu.py) — f32 keeps the per-program form. The
+    # per-row footprint model is calibrated to the RB=4 OOM measurement
+    # (19.75M / 4 rows ~ 4.9M at TQ=64, Mp=512, D=12 bf16 => ~38 live
+    # (TQ, Mp) f32 planes + the q/k/v head blocks), so larger-M bf16
+    # configs fall back to RB=1 instead of failing Mosaic compile.
+    per_row = 38 * TQ * Mp * 4 + 3 * H * Mp * D * (2 if cdt == jnp.bfloat16 else 4)
+    RB = (
+        2
+        if (B % 2 == 0 and cdt == jnp.bfloat16 and 2 * per_row <= 11_500_000)
+        else 1
+    )
     grid = (B // RB, Mp // TQ)
     qrow_spec = pl.BlockSpec((RB, TQ, 1), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM)
     krow_spec = pl.BlockSpec((RB, 1, Mp), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)

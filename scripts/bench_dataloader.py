@@ -82,8 +82,8 @@ def fabricate(root: str, num_frames: int = 24, objects_per_frame: int = 1):
     from genpose2_tpu.data.exr import write_exr
 
     for i in range(num_frames):
-        n_obj = objects_per_frame if objects_per_frame == 1 else (
-            objects_per_frame - 2 + (i % 5)  # mix of frame sizes
+        n_obj = objects_per_frame if objects_per_frame == 1 else max(
+            1, objects_per_frame - 2 + (i % 5)  # mix of frame sizes
         )
         cols = int(np.ceil(np.sqrt(n_obj)))
         poses, sizes, metas = [], [], []
@@ -235,7 +235,12 @@ def main(objects_per_frame: int = 8, out_json: str = None):
 
         blob = {
             "host_cpus": multiprocessing.cpu_count(),
-            "objects_per_frame": f"{objects_per_frame - 2}..{objects_per_frame + 2} (mix)",
+            "objects_per_frame": (
+                "1"
+                if objects_per_frame == 1
+                else f"{max(1, objects_per_frame - 2)}.."
+                f"{objects_per_frame + 2} (mix)"
+            ),
             "note": (
                 "one loader sample = one object (crop + EXR depth decode + "
                 "backproject + 1024-pt sample), so samples/s = objects/s; "
