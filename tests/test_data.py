@@ -325,3 +325,36 @@ class TestEvalEnumerationAndRNG:
         ds.epoch = 1
         s1 = ds[0]["pcl_in"]
         assert not np.array_equal(s0, s1)
+
+
+class TestBenchSceneGenerator:
+    """The DATA_BENCH harness's multi-object scene generator
+    (scripts/bench_dataloader.py:fabricate) must produce datasets the real
+    loader path consumes with correct per-object geometry — it backs the
+    committed DATA_BENCH_r05.json loader numbers."""
+
+    def test_fabricated_scene_roundtrips_through_dataset(self, tmp_path):
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+        )
+        import bench_dataloader as bd
+
+        bd.fabricate(str(tmp_path), num_frames=3, objects_per_frame=4)
+        cfg = DataConfig(num_points=256, img_size=64, dzi_type="none")
+        ds = Omni6DPoseDataset(cfg, mode="test", data_dir=str(tmp_path))
+        # frames carry a MIX of object counts (2..6 at objects_per_frame=4)
+        assert len(ds) >= 3 * 2
+        seen_frames = set()
+        for i in range(len(ds)):
+            s = ds[i]
+            # backprojected cloud must sit on the object: camera-frame points
+            # mapped into the object frame lie within the half-diagonal
+            R = np.asarray(s["rotation"])
+            t = np.asarray(s["translation"])
+            obj_pts = (np.asarray(s["pcl_in"]) - t) @ R
+            half = np.asarray(s["bbox_side_len"]) / 2
+            assert (np.abs(obj_pts) < half[None] * 1.5 + 0.02).mean() > 0.95
+            seen_frames.add(int(i))
+        assert len(seen_frames) == len(ds)
