@@ -269,3 +269,41 @@ class TestMultiHostTraining:
                 single["track_checksum"], 1e-9
             )
             assert rel < 1e-5, (r, single)
+
+
+class TestScalingHarness:
+    def test_collective_counts_reads_compiled_hlo(self, eight_devices):
+        """bench_scaling.collective_counts must count the actual collective
+        instructions of a compiled sharded program (SCALING_r05.json's
+        structural evidence rests on it)."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from bench_scaling import collective_counts
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(data=4, cand=1)
+        x = jax.device_put(
+            jnp.ones((8, 16)), NamedSharding(mesh, P("data", None))
+        )
+
+        def mean_all(v):
+            # force a cross-device reduction over 'data'
+            return jax.lax.with_sharding_constraint(
+                jnp.broadcast_to(jnp.mean(v), v.shape),
+                NamedSharding(mesh, P("data", None)),
+            )
+
+        counts = collective_counts(jax.jit(mean_all).lower(x).compile())
+        assert sum(counts.values()) >= 1, counts
+        assert set(counts) <= {
+            "all-reduce", "all-gather", "reduce-scatter",
+            "collective-permute", "all-to-all",
+        }
+
+        # a replicated/no-comm program reports no collectives
+        y = jnp.ones((8, 16))
+        counts0 = collective_counts(
+            jax.jit(lambda v: v * 2).lower(y).compile()
+        )
+        assert counts0 == {}, counts0
