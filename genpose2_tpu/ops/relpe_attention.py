@@ -199,6 +199,11 @@ def relpe_attention(xyz, q, k, v, pe_params, num_heads: int,
     # (19.75M / 4 rows ~ 4.9M at TQ=64, Mp=512, D=12 bf16 => ~38 live
     # (TQ, Mp) f32 planes + the q/k/v head blocks), so larger-M bf16
     # configs fall back to RB=1 instead of failing Mosaic compile.
+    # A lax.fori_loop row body (transients allocated once, not per unrolled
+    # row) was measured as an alternative: it does NOT lift the cap (RB=4
+    # still fails Mosaic compile at M=512/256) and the dynamic-r ref
+    # indexing costs 3-8% at every flagship stage (e.g. M=512: 3.92 ms
+    # unrolled-RB2 vs 4.11 fori-RB2; M=128: 0.97 vs 1.04) — keep unrolled.
     per_row = 38 * TQ * Mp * 4 + 3 * H * Mp * D * (2 if cdt == jnp.bfloat16 else 4)
     RB = (
         2
