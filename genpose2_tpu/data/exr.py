@@ -28,6 +28,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from genpose2_tpu.data import native as _native
+
 _MAGIC = 20000630
 _PIXELTYPE = {0: np.uint32, 1: np.float16, 2: np.float32}
 _PIXELTYPE_INV = {np.dtype(np.uint32): 0, np.dtype(np.float16): 1, np.dtype(np.float32): 2}
@@ -139,10 +141,16 @@ def read_exr(path: str) -> np.ndarray:
         rows = min(lines_per_chunk, y1 - y + 1)
         expect = rows * W * bytes_per_px
         if compression != _NO_COMPRESSION and size < expect:
-            data = _reconstruct_and_deinterleave(zlib.decompress(data)).tobytes()
+            # native C path fuses inflate + predictor + deinterleave into one
+            # cache-resident sweep (native/gp2_host.cc:gp2_exr_chunk)
+            arr = _native.exr_chunk(data, expect)
+            if arr is None:
+                arr = _reconstruct_and_deinterleave(zlib.decompress(data))
+            arr = arr.reshape(rows, expect // rows)
+        else:
+            arr = np.frombuffer(data, np.uint8).reshape(rows, expect // rows)
         # per scanline: channels in file order, each a full row
         row0 = y - y0
-        arr = np.frombuffer(data, np.uint8).reshape(rows, expect // rows)
         col = 0
         for p, dt in zip(planes, dtypes):
             w = W * dt.itemsize

@@ -55,6 +55,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_uint64, ctypes.c_int, f32p, i32p, i32p,
     ]
     lib.gp2_extract_cloud.restype = ctypes.c_int
+    if hasattr(lib, "gp2_exr_chunk"):  # older cached .so builds lack it
+        lib.gp2_exr_chunk.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, u8p, ctypes.c_int,
+        ]
+        lib.gp2_exr_chunk.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -63,6 +68,22 @@ def available() -> bool:
     if os.environ.get("GP2_DISABLE_NATIVE"):
         return False  # A/B escape hatch (scripts/bench_dataloader.py)
     return get_lib() is not None
+
+
+def exr_chunk(zdata: bytes, expect: int) -> Optional[np.ndarray]:
+    """Native inflate + EXR ZIP reconstruct/deinterleave of one chunk.
+    Returns the decoded (expect,) uint8 block, or None when the native
+    library is unavailable (caller falls back to the numpy path)."""
+    if os.environ.get("GP2_DISABLE_NATIVE"):
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gp2_exr_chunk"):
+        return None
+    out = np.empty(expect, np.uint8)
+    n = lib.gp2_exr_chunk(zdata, len(zdata), out, expect)
+    if n != expect:
+        raise ValueError(f"native EXR chunk decode failed (rc={n})")
+    return out
 
 
 def mask_bbox(mask: np.ndarray, mask_id: int) -> Tuple[int, Tuple[int, int, int, int]]:

@@ -17,7 +17,39 @@
 #include <cstring>
 #include <random>
 
+#include <zlib.h>
+
 extern "C" {
+
+// Decode one OpenEXR ZIP/ZIPS chunk: inflate, then the spec's post-inflate
+// reorder (ImfZip.cpp reconstruct + interleave) in one pass. The Python
+// codec (genpose2_tpu/data/exr.py) does the same with zlib + three
+// vectorized numpy passes and per-chunk temporaries; this fuses the
+// predictor scan and the deinterleave into a single cache-resident sweep.
+// z/zlen = compressed chunk, out/expect = decoded scanline block.
+// Returns expect on success, -1 on inflate error/size mismatch.
+int gp2_exr_chunk(const uint8_t* z, int zlen, uint8_t* out, int expect) {
+  uint8_t* tmp = new uint8_t[expect];
+  uLongf dlen = (uLongf)expect;
+  if (uncompress(tmp, &dlen, z, (uLong)zlen) != Z_OK || (int)dlen != expect) {
+    delete[] tmp;
+    return -1;
+  }
+  // predictor: t[i] = t[i] + t[i-1] - 128 (mod 256), sequential scan
+  for (int i = 1; i < expect; ++i) tmp[i] = (uint8_t)(tmp[i] + tmp[i - 1] - 128);
+  // deinterleave: even output bytes from the first half, odd from the second
+  const int half = (expect + 1) / 2;
+  const uint8_t* a = tmp;
+  const uint8_t* b = tmp + half;
+  const int pairs = expect - half;
+  for (int j = 0; j < pairs; ++j) {
+    out[2 * j] = a[j];
+    out[2 * j + 1] = b[j];
+  }
+  if (expect & 1) out[expect - 1] = a[half - 1];
+  delete[] tmp;
+  return expect;
+}
 
 // Bounding box of mask pixels equal to mask_id.
 // out = {rmin, rmax, cmin, cmax}; returns pixel count.

@@ -48,6 +48,31 @@ class TestExrCodec:
         assert d[0, 0] == 0.0
         np.testing.assert_allclose(d[1:], depth[1:])
 
+    def test_native_chunk_decode_matches_python(self, tmp_path, monkeypatch):
+        """The C chunk decoder (gp2_exr_chunk: inflate + predictor +
+        deinterleave in one pass) must be byte-exact vs the numpy path,
+        including odd-byte chunks and multi-channel scanlines."""
+        from genpose2_tpu.data import native
+
+        if native.get_lib() is None or not hasattr(native.get_lib(), "gp2_exr_chunk"):
+            pytest.skip("native library unavailable")
+
+        rng = np.random.default_rng(7)
+        imgs = [
+            (rng.random((37, 53)) * 100).astype(np.float32),  # odd row bytes
+            (rng.random((33, 21, 3)) * 10).astype(np.float32),
+            (rng.random((17, 19)) * 100).astype(np.float16),
+        ]
+        for i, img in enumerate(imgs):
+            p = str(tmp_path / f"n{i}.exr")
+            write_exr(p, img, "zip")
+            a = read_exr(p)  # native path
+            monkeypatch.setenv("GP2_DISABLE_NATIVE", "1")
+            b = read_exr(p)  # numpy path
+            monkeypatch.delenv("GP2_DISABLE_NATIVE")
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(a, img)
+
     def test_rejects_non_exr(self, tmp_path):
         p = tmp_path / "bad.exr"
         p.write_bytes(b"not an exr file at all")
