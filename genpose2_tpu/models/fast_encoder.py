@@ -110,9 +110,12 @@ def _fast_gaf(p, s, current, original, dt):
     )
 
 
-def _fast_sa_stage(sa_p, sa_s, xyz, features, cfg: PointNet2Config, k: int, dt):
+def _fast_sa_stage(sa_p, sa_s, xyz, features, cfg: PointNet2Config, k: int, dt,
+                   new_xyz=None):
     """One SetAbstractionMSG stage through the fused scale kernel (or the XLA
-    GroupAll when npoint is None). Returns (new_xyz | None, features)."""
+    GroupAll when npoint is None). Returns (new_xyz | None, features).
+    ``new_xyz`` may be precomputed by the caller (FPS prefix, see
+    _fps_prefix_centroids); when None the stage runs its own FPS + gather."""
     npoint = cfg.npoints[k]
     scale_outputs = []
 
@@ -139,8 +142,9 @@ def _fast_sa_stage(sa_p, sa_s, xyz, features, cfg: PointNet2Config, k: int, dt):
             scale_outputs.append(jnp.max(h, axis=1, keepdims=True))
         return None, jnp.concatenate(scale_outputs, axis=-1)
 
-    idx = furthest_point_sample(xyz, npoint)
-    new_xyz = gather_points(xyz, idx)
+    if new_xyz is None:
+        idx = furthest_point_sample(xyz, npoint)
+        new_xyz = gather_points(xyz, idx)
     inp = (
         jnp.concatenate([xyz, features], axis=-1)
         if (features is not None and cfg.use_xyz)
@@ -206,6 +210,33 @@ def _fast_sa_stage(sa_p, sa_s, xyz, features, cfg: PointNet2Config, k: int, dt):
     return new_xyz, cat
 
 
+def _fps_prefix_centroids(xyz, cfg: PointNet2Config):
+    """ONE FPS run whose pick-prefixes are every stage's centroid set.
+
+    Greedy FPS restricted to its own first-n picks reproduces the same pick
+    sequence: at step i < n the argmax of the min-distance over the full set
+    is itself among the first n picks (it IS pick i), so the argmax over the
+    prefix subset selects the same point, and the incremental min-distance
+    updates for subset members are the identical arithmetic. Hence
+    ``fps(gather(xyz, fps(xyz, n0)), n1)[:n1] == arange(n1)`` and stage k's
+    centroids are ``S[:, :npoints[k]]`` of the single stage-0 run — three of
+    the four sequential FPS chains (and their gathers) drop out of the
+    flagship stack. (Exact up to ties in the distance argmax, which the
+    stagewise form breaks in subset order; exact-duplicate points never tie
+    for the argmax since their min-distance is 0.) Parity vs the stagewise
+    module path: tests/test_models.py::test_fast_fus_forward_parity and
+    test_fps_prefix_property.
+
+    Returns the pick-ordered stage-0 centroid set S (B, npoints[0], 3), or
+    None when the config's npoints are not a shrinking chain.
+    """
+    ns = [n for n in cfg.npoints if n is not None]
+    if not ns or any(b > a for a, b in zip(ns, ns[1:])):
+        return None
+    idx = furthest_point_sample(xyz, ns[0])
+    return gather_points(xyz, idx)
+
+
 def fast_cls_forward(variables, pointcloud, cfg: PointNet2Config):
     """variables = {'params', 'batch_stats'} of a PointNet2ClsMSG (possibly a
     sub-tree of a larger model), pointcloud (B, N, 3+C) -> (B, 1024) f32."""
@@ -216,6 +247,7 @@ def fast_cls_forward(variables, pointcloud, cfg: PointNet2Config):
     xyz = pointcloud[..., :3]
     features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
 
+    S = _fps_prefix_centroids(xyz, cfg)
     for k in range(len(cfg.npoints)):
         xyz, features = _fast_sa_stage(
             params[f"SetAbstractionMSG_{k}"],
@@ -225,6 +257,8 @@ def fast_cls_forward(variables, pointcloud, cfg: PointNet2Config):
             cfg,
             k,
             dt,
+            new_xyz=None if (S is None or cfg.npoints[k] is None)
+            else S[:, : cfg.npoints[k]],
         )
 
     return features.squeeze(1)
@@ -251,6 +285,7 @@ def fast_fus_forward(variables, pointcloud, cfg: PointNet2Config):
 
     out_channels = [sum(m[-1] for m in stage) for stage in cfg.mlps]
 
+    S = _fps_prefix_centroids(xyz, cfg)
     for k in range(len(cfg.npoints)):
         if k > 0:
             if downsampled.shape[1] != features.shape[1]:
@@ -268,6 +303,8 @@ def fast_fus_forward(variables, pointcloud, cfg: PointNet2Config):
             cfg,
             k,
             dt,
+            new_xyz=None if (S is None or cfg.npoints[k] is None)
+            else S[:, : cfg.npoints[k]],
         )
 
         name = f"TransformerBlockWithRelativePE_{k}"

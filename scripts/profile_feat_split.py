@@ -50,6 +50,7 @@ def fus_forward_variant(variables, pointcloud, cfg, with_gaf, with_transformer):
     downsampled = features
     out_channels = [sum(m[-1] for m in stage) for stage in cfg.mlps]
 
+    S = fe._fps_prefix_centroids(xyz, cfg)  # ONE FPS run, stage prefixes
     for k in range(len(cfg.npoints)):
         if k > 0 and with_gaf:
             if downsampled.shape[1] != features.shape[1]:
@@ -63,6 +64,8 @@ def fus_forward_variant(variables, pointcloud, cfg, with_gaf, with_transformer):
             params[f"SetAbstractionMSG_{k}"],
             stats[f"SetAbstractionMSG_{k}"],
             xyz, features, cfg, k, dt,
+            new_xyz=None if (S is None or cfg.npoints[k] is None)
+            else S[:, : cfg.npoints[k]],
         )
 
         if with_transformer:

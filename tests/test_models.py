@@ -383,6 +383,26 @@ class TestFastEncoder:
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
+    def test_fps_prefix_property(self):
+        """The greedy-FPS prefix property the fast path relies on
+        (fast_encoder._fps_prefix_centroids): re-running FPS on its own
+        pick-ordered prefix reproduces arange, so stage k's centroids are a
+        prefix of the stage-0 run."""
+        from genpose2_tpu.ops import furthest_point_sample, gather_points
+
+        rng = np.random.default_rng(23)
+        xyz = jnp.asarray(rng.uniform(-0.5, 0.5, size=(3, 256, 3)), jnp.float32)
+        S = gather_points(xyz, furthest_point_sample(xyz, 128))
+        for n_prev, n in ((128, 64), (64, 32), (32, 16)):
+            sub = S[:, :n_prev]
+            idx = furthest_point_sample(sub, n)
+            np.testing.assert_array_equal(
+                np.asarray(idx), np.tile(np.arange(n), (3, 1))
+            )
+            np.testing.assert_array_equal(
+                np.asarray(gather_points(sub, idx)), np.asarray(S[:, :n])
+            )
+
     def test_fast_gaf_parity(self):
         """BN-folded pure-function GatedAttentionFusion == the module
         (eval mode), including the resize branch and the k=7 spatial conv."""
