@@ -26,7 +26,15 @@ inference_energy, evaluation_single.py:78-157):
                     aggregation + ScaleNet), CONSUMING program A's actual
                     per-iteration candidates and features
 
-full = A + B is a consuming chain with no stage double-counted. The
+full = A + B is a consuming chain with no stage double-counted. Every
+iteration models a NEW frame batch: program A re-runs the ViT + score
+encoder per iteration, and program B re-runs the ENERGY agent's encoder
+(its own ImgEncoder/pts-encoder weights) per iteration — only the frozen
+ViT's patch features are shared A->B, exactly like the production
+pipeline's one-backbone-run-per-batch reuse. (Rounds 2-4 and the first r5
+number let XLA hoist the loop-invariant energy-encoder forward out of
+program B's scan, amortizing ~15 ms/iter to ~0.3 — those headlines
+overstate the full pipeline; the score-only metric was unaffected.) The
 score-only configuration (the r01-r03 headline: sample -> energy-free
 aggregation) is A + a third small aggregation program that also consumes A's
 candidates. The tracking metric is T (warm-start sampling + aggregation loop,
@@ -166,7 +174,24 @@ def main():
     def energy_scale_loop(estate, sstate, batch, all_poses, pts_feat, seed=0):
         def body(carry, poses):
             poses = poses + 0.0 * carry[0, 0]
-            energy = energy_agent.get_energy(estate, batch, poses, fixed_t=1e-5)
+            # Each iteration is a NEW frame batch, so the ENERGY agent's
+            # encoder (its own ImgEncoder fusion + rgb gather + pts encoder —
+            # different weights from the score agent's) must run per
+            # iteration: thread the carry dependency through pts/dino_layers
+            # so XLA cannot hoist it out of the scan. (Before r5 the batch
+            # was loop-invariant and the ~15 ms energy-encoder forward was
+            # amortized /reps — overstating the full-pipeline headline.) The
+            # FROZEN ViT's dino_layers stay loop-invariant on purpose: the
+            # serving chain computes them once per frame in program A and the
+            # energy stage reuses them (as the production eval pipeline and
+            # inference API do — one backbone run per batch, r3).
+            eps = 0.0 * poses[0, 0, 0]
+            b = dict(batch)
+            b["pts"] = batch["pts"] + eps
+            b["dino_layers"] = jax.tree.map(
+                lambda t: t + eps.astype(t.dtype), batch["dino_layers"]
+            )
+            energy = energy_agent.get_energy(estate, b, poses, fixed_t=1e-5)
             agg = aggregate_candidates(
                 poses, energy, retain_ratio=cfg.eval.retain_ratio,
                 clustering=cfg.eval.clustering, eps=cfg.eval.clustering_eps,
@@ -260,8 +285,10 @@ def main():
                     "PointNet++ + 50-step ODE x K=50 + EnergyNet ranking "
                     "over BxK + energy-sorted aggregation + ScaleNet; "
                     "timed as a consuming chain of programs A+B — B ranks "
-                    "A's actual per-iteration candidates; see bench.py "
-                    "docstring)"
+                    "A's actual per-iteration candidates and re-runs the "
+                    "energy agent's encoder per iteration (r5 basis change: "
+                    "earlier rounds amortized that ~15 ms forward across "
+                    "the scan); see bench.py docstring)"
                 ),
                 "vs_baseline": round(cand_per_s / BASELINE_CANDIDATES_PER_S, 2),
                 "score_only_candidates_per_s": round(cand_per_s_score, 1),
